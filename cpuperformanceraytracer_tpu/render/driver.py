@@ -1,0 +1,116 @@
+"""Offline render driver: warmup + timed frame loop, progress, output,
+checkpoint/resume, screenshot.
+
+The TPU-native mirror of ApplicationState::RenderOffline
+(Application.cpp:400-458): N warmup frames, a timed loop of num_frames
+progressive frames, ms/frame + rays/s reporting, and a final
+postprocess-and-write. Adds what the reference lacks: periodic
+checkpointing and resumable accumulation state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from cpuperformanceraytracer_tpu.config import RenderConfig
+from cpuperformanceraytracer_tpu.core.vecmath import Vec3
+from cpuperformanceraytracer_tpu.io.checkpoint import resume_or_fresh, save_checkpoint
+from cpuperformanceraytracer_tpu.io.image import write_bmp, write_png
+from cpuperformanceraytracer_tpu.render.frame import (
+    make_frame_fn,
+    postprocess_image,
+    zero_accum,
+)
+from cpuperformanceraytracer_tpu.scene.presets import scene_by_name
+from cpuperformanceraytracer_tpu.utils.log import get_logger, progress
+from cpuperformanceraytracer_tpu.utils.timing import FrameTimer
+
+
+@dataclasses.dataclass
+class RenderState:
+    accum: Vec3
+    frame: int
+
+
+class OfflineRenderer:
+    """Progressive offline renderer over a scene preset.
+
+    rays/s accounting: primary rays per frame = W*H*spp; the ms/frame
+    protocol matches the reference's offline benchmark
+    (Application.cpp:420-452).
+    """
+
+    def __init__(self, cfg: RenderConfig, texture=None, scene=None, camera=None,
+                 silent: bool = False):
+        self.cfg = cfg.validate()
+        if scene is None or camera is None:
+            scene, camera = scene_by_name(cfg.scene)
+        self.scene = scene
+        self.camera = camera
+        self.texture = texture
+        self.log = get_logger(silent=silent)
+        self.frame_fn = make_frame_fn(self.cfg)
+        self.state = RenderState(accum=zero_accum(self.cfg), frame=0)
+
+    def resume(self, checkpoint_path: Optional[str]) -> None:
+        accum, frame = resume_or_fresh(checkpoint_path, self.cfg)
+        self.state = RenderState(accum=accum, frame=frame)
+
+    def step(self) -> None:
+        """One progressive frame."""
+        self.state.accum = self.frame_fn(
+            self.scene, self.camera, self.texture, self.state.frame,
+            self.state.accum,
+        )
+        self.state.frame += 1
+
+    def run(self, checkpoint_path: Optional[str] = None,
+            checkpoint_every: int = 0) -> FrameTimer:
+        """Warmup + timed loop (the offline benchmark protocol)."""
+        cfg = self.cfg
+        timer = FrameTimer(warmup_frames=cfg.warmup_frames)
+
+        for w in range(cfg.warmup_frames):
+            # warmup compiles + warms caches but must not pollute the
+            # accumulation: render into a scratch buffer (Application.cpp:421
+            # does pollute; progressive mean makes it harmless there — here
+            # we keep the image exactly equal to an unwarmed run)
+            scratch = self.frame_fn(
+                self.scene, self.camera, self.texture, 0, zero_accum(cfg)
+            )
+            jax.block_until_ready(scratch)
+
+        for i in range(cfg.num_frames):
+            timer.frame_start()
+            self.step()
+            jax.block_until_ready(self.state.accum)
+            timer.frame_end()
+            progress(self.log, i, cfg.num_frames)
+            if checkpoint_path and checkpoint_every and (
+                (i + 1) % checkpoint_every == 0
+            ):
+                save_checkpoint(checkpoint_path, self.state.accum,
+                                self.state.frame, cfg)
+
+        rays = cfg.width * cfg.height * cfg.spp
+        self.log.info(
+            "mean %.3f ms/frame, %.1f Mrays/s (primary)",
+            timer.mean_ms, timer.rays_per_second(rays) / 1e6,
+        )
+        return timer
+
+    def image_u8(self) -> np.ndarray:
+        return np.asarray(
+            postprocess_image(self.state.accum, self.cfg.exposure)
+        )
+
+    def write_image(self, path: str) -> None:
+        img = self.image_u8()
+        if path.endswith(".png"):
+            write_png(path, img)
+        else:
+            write_bmp(path, img)

@@ -1,0 +1,225 @@
+"""Texture pytree + equirect/cubemap/env sampling.
+
+Re-derivation of texture.{h,cpp}: the reference's
+``_mm256_i32gather_ps`` channel gathers become flat-index jnp gathers
+(scalar per ray, vectorized by vmap); the branchless max-axis cubemap
+face select (texture.cpp:275-404) and the stochastic jittered-nearest
+"bilinear" (TexelSampleRandom, texture.cpp:78-86) are reproduced
+exactly, draws included, so RNG streams line up with the oracle.
+
+Cubemap layout matches LoadCubemapTexture (asset_loading.cpp:18-44): six
+W x H faces stacked vertically into one W x 6H texture, face order
+px, nx, py, ny, pz, nz (v offsets 0..5/6).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from cpuperformanceraytracer_tpu.core.vecmath import Vec2, Vec3, dot3, lerp, saturate
+from cpuperformanceraytracer_tpu.texture.hdr import read_hdr
+
+
+class Texture(NamedTuple):
+    """f32 RGB texture stored as three flat (H*W,) channel planes.
+
+    SoA planes (instead of (H,W,3)) keep every gather a rank-1 dynamic
+    take — the cheapest gather shape for XLA on TPU — mirroring the
+    reference's channel-base-pointer gathers (texture.cpp:16-27).
+    """
+
+    r: jnp.ndarray
+    g: jnp.ndarray
+    b: jnp.ndarray
+    width: int
+    height: int
+
+
+def texture_from_array(rgb) -> Texture:
+    rgb = np.asarray(rgb, np.float32)
+    h, w, _ = rgb.shape
+    flat = rgb.reshape(-1, 3)
+    return Texture(
+        r=jnp.asarray(flat[:, 0]),
+        g=jnp.asarray(flat[:, 1]),
+        b=jnp.asarray(flat[:, 2]),
+        width=w,
+        height=h,
+    )
+
+
+def load_texture(path: str) -> Texture:
+    """LoadTexture analog (asset_loading.cpp:9-16): HDR with vertical flip."""
+    return texture_from_array(read_hdr(path, flip_vertical=True))
+
+
+def load_cubemap_texture(paths) -> Texture:
+    """Six faces (px, nx, py, ny, pz, nz) stacked vertically
+    (asset_loading.cpp:18-44)."""
+    faces = [read_hdr(p, flip_vertical=True) for p in paths]
+    h, w, _ = faces[0].shape
+    for f in faces:
+        if f.shape != (h, w, 3):
+            raise ValueError("cubemap faces must share one resolution")
+    return texture_from_array(np.concatenate(faces, axis=0))
+
+
+def _gather(tex: Texture, flat_idx) -> Vec3:
+    return Vec3(tex.r[flat_idx], tex.g[flat_idx], tex.b[flat_idx])
+
+
+def texel_fetch(tex: Texture, row, col) -> Vec3:
+    """Clamped integer texel fetch (TexelFetch, texture.cpp:6-14)."""
+    row = jnp.clip(row, 0, tex.height - 1)
+    col = jnp.clip(col, 0, tex.width - 1)
+    return _gather(tex, row * tex.width + col)
+
+
+def sample_nearest(tex: Texture, uv: Vec2) -> Vec3:
+    """Truncating nearest fetch at uv*(dim-1)
+    (EquirectangularTextureSampleGather inner math, texture.cpp:144-163)."""
+    row = (uv.y * (tex.height - 1)).astype(jnp.int32)
+    col = (uv.x * (tex.width - 1)).astype(jnp.int32)
+    return texel_fetch(tex, row, col)
+
+
+def sample_bilinear(tex: Texture, uv: Vec2) -> Vec3:
+    """Four-tap bilinear (TexelSampleBilinear, texture.cpp:39-76).
+
+    Uses floor/ceil of uv*(dim-1) like the reference (so du/dv come from
+    the floor corner and the ceil tap can alias the same texel on exact
+    integer coordinates).
+    """
+    row = uv.y * (tex.height - 1)
+    col = uv.x * (tex.width - 1)
+    r0 = jnp.floor(row)
+    r1 = jnp.ceil(row)
+    c0 = jnp.floor(col)
+    c1 = jnp.ceil(col)
+    dv = row - r0
+    du = col - c0
+
+    r0i = r0.astype(jnp.int32)
+    r1i = r1.astype(jnp.int32)
+    c0i = c0.astype(jnp.int32)
+    c1i = c1.astype(jnp.int32)
+
+    c00 = texel_fetch(tex, r0i, c0i)
+    c10 = texel_fetch(tex, r0i, c1i)
+    c01 = texel_fetch(tex, r1i, c0i)
+    c11 = texel_fetch(tex, r1i, c1i)
+
+    top = c00 + (c10 - c00) * du
+    bot = c01 + (c11 - c01) * du
+    return top + (bot - top) * dv
+
+
+def sample_stochastic(tex: Texture, uv: Vec2, rng):
+    """Single-tap stochastic bilinear: jittered nearest, 2 draws
+    (TexelSampleRandom, texture.cpp:78-86). In expectation this equals
+    bilinear filtering, and it is the reference's default env-map path —
+    which happens to be the ideal TPU shape too (one gather, no
+    neighborhood taps)."""
+    row = uv.y * (tex.height - 1)
+    col = uv.x * (tex.width - 1)
+    jr, rng = rng.next01()
+    jc, rng = rng.next01()
+    rand_row = jnp.floor(row + jr).astype(jnp.int32)
+    rand_col = jnp.floor(col + jc).astype(jnp.int32)
+    return _gather(tex, rand_row * tex.width + rand_col), rng
+
+
+_INV_ATAN = (0.1591, 0.3183)  # (1/2pi, 1/pi), texture.cpp:145
+
+
+def equirect_uv(direction: Vec3) -> Vec2:
+    """Direction -> equirect uv: fract((atan2(z,x), asin(y)) * invAtan + .5)
+    then saturate (EquirectangularTextureSampleRandom, texture.cpp:186-203)."""
+    u = jnp.arctan2(direction.z, direction.x) * _INV_ATAN[0] + 0.5
+    v = jnp.arcsin(jnp.clip(direction.y, -1.0, 1.0)) * _INV_ATAN[1] + 0.5
+    u = u - jnp.floor(u)
+    v = v - jnp.floor(v)
+    return Vec2(saturate(u), saturate(v))
+
+
+def cubemap_uv(direction: Vec3) -> Vec2:
+    """Branchless max-axis cubemap face select onto the vertical-cross
+    stacked texture (CubemapTextureSampleBilinear, texture.cpp:275-339).
+
+    Face priority on ties replicates the reference's blend order:
+    X faces, overridden by Y when |y| >= |x|, overridden by Z when
+    |z| >= |x| and |z| >= |y|.
+    """
+    d = direction
+    ax, ay, az = jnp.abs(d.x), jnp.abs(d.y), jnp.abs(d.z)
+
+    # X faces
+    xgt0 = d.x >= 0.0
+    face_u = jnp.where(xgt0, -d.z, d.z)
+    face_v = d.y
+    v_off = jnp.where(xgt0, 0.0, 1.0 / 6.0)
+
+    # Y faces override when |y| >= |x|
+    ygt0 = d.y >= 0.0
+    y_u = d.x
+    y_v = jnp.where(ygt0, -d.z, d.z)
+    y_off = jnp.where(ygt0, 2.0 / 6.0, 3.0 / 6.0)
+    ygtx = ay >= ax
+    face_u = jnp.where(ygtx, y_u, face_u)
+    face_v = jnp.where(ygtx, y_v, face_v)
+    v_off = jnp.where(ygtx, y_off, v_off)
+
+    # Z faces override when |z| >= |x| and |z| >= |y|
+    zgt0 = d.z >= 0.0
+    z_u = jnp.where(zgt0, d.x, -d.x)
+    z_v = d.y
+    z_off = jnp.where(zgt0, 4.0 / 6.0, 5.0 / 6.0)
+    maxz = (az >= ax) & (az >= ay)
+    face_u = jnp.where(maxz, z_u, face_u)
+    face_v = jnp.where(maxz, z_v, face_v)
+    v_off = jnp.where(maxz, z_off, v_off)
+
+    max_abs = jnp.maximum(ax, jnp.maximum(ay, az))
+    u = saturate(face_u / max_abs * 0.5 + 0.5)
+    v = saturate(face_v / max_abs * 0.5 + 0.5)
+    v = saturate(v * (1.0 / 6.0) + v_off)
+    return Vec2(u, v)
+
+
+def sample_equirect(tex: Texture, direction: Vec3, mode: str, rng=None):
+    uv = equirect_uv(direction)
+    if mode == "stochastic":
+        return sample_stochastic(tex, uv, rng)
+    if mode == "bilinear":
+        return sample_bilinear(tex, uv), rng
+    return sample_nearest(tex, uv), rng
+
+
+def sample_cubemap(tex: Texture, direction: Vec3, mode: str, rng=None):
+    uv = cubemap_uv(direction)
+    if mode == "stochastic":
+        return sample_stochastic(tex, uv, rng)
+    if mode == "bilinear":
+        return sample_bilinear(tex, uv), rng
+    return sample_nearest(tex, uv), rng
+
+
+def sample_environment(tex, direction: Vec3, cfg, rng) -> Tuple[Vec3, object]:
+    """Miss-radiance lookup with the v4 conventions.
+
+    env_mode none -> constant ambient (v4 :905 / scalar :307);
+    equirect -> optional (-x, y, -z) flip first (v4 :758-759);
+    cubemap -> unflipped direction (v4 :747-755).
+    Consumes 2 rng draws iff stochastic sampling with a texture —
+    call sites rely on this draw-count contract for stream alignment.
+    """
+    if cfg.env_mode == "none" or tex is None:
+        a = cfg.ambient
+        return Vec3(jnp.float32(a[0]), jnp.float32(a[1]), jnp.float32(a[2])), rng
+    if cfg.env_mode == "equirect":
+        d = Vec3(-direction.x, direction.y, -direction.z) if cfg.env_flip_xz else direction
+        return sample_equirect(tex, d, cfg.env_sampling, rng)
+    return sample_cubemap(tex, direction, cfg.env_sampling, rng)
