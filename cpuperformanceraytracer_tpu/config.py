@@ -65,6 +65,9 @@ class RenderConfig:
 
     # kernel backend: "xla" (fused jnp/vmap path) or "pallas" (megakernel)
     backend: str = "xla"
+    # unroll the bounce loop in the traced graph (larger compile, lets
+    # XLA specialize per bounce); default rolled via lax.fori_loop
+    unroll_bounces: bool = False
     # Pallas pixel-block shape; last dim should be a multiple of 128
     tile_height: int = 8
     tile_width: int = 256

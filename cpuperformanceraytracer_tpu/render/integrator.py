@@ -225,13 +225,8 @@ def color_for_ray(scene: Scene, derived, texture, cfg, start_pos: Vec3,
         here; "terminate" implements the correct v3-scalar semantics.
     Returns (color Vec3, rng).
     """
-    ret = vec3(0.0)
-    throughput = vec3(1.0)
-    pos = start_pos
-    dir = start_dir
-    alive = jnp.bool_(True)
-
-    for _ in range(cfg.bounces + 1):
+    def bounce_body(_, carry):
+        ret, throughput, pos, dir, alive, rng = carry
         hit = trace_scene(scene, derived, pos, dir)
 
         # env radiance evaluated (and its rng draws consumed) every
@@ -360,8 +355,18 @@ def color_for_ray(scene: Scene, derived, texture, cfg, start_pos: Vec3,
         throughput = w3(new_thr, throughput)
         pos = w3(new_pos, pos)
         dir = w3(new_dir, dir)
-        alive = update
+        return (ret, throughput, pos, dir, update, rng)
 
+    carry = (vec3(0.0), vec3(1.0), start_pos, start_dir, jnp.bool_(True), rng)
+    n_segments = cfg.bounces + 1
+    if getattr(cfg, "unroll_bounces", False):
+        for i in range(n_segments):
+            carry = bounce_body(i, carry)
+    else:
+        # rolled loop: keeps the traced graph one-bounce-sized, which is
+        # what keeps XLA compile time sane at 8 bounces x high spp
+        carry = lax.fori_loop(0, n_segments, bounce_body, carry)
+    ret, _, _, _, _, rng = carry
     return ret, rng
 
 
@@ -405,9 +410,16 @@ def render_pixel(scene: Scene, camera, texture, cfg, x, y, frame):
         origin, direction, rng = camera_ray(
             camera, x, y, cfg.width, cfg.height, rng, cfg.jitter
         )
-        for _ in range(cfg.spp):
-            c, rng = color_for_ray(scene, derived, texture, cfg, origin, direction, rng)
-            color = color + c * (1.0 / cfg.spp)
+
+        def wang_sample(carry, _):
+            acc, rng = carry
+            c, rng = color_for_ray(scene, derived, texture, cfg, origin,
+                                   direction, rng)
+            return (acc + c * (1.0 / cfg.spp), rng), None
+
+        (color, rng), _ = lax.scan(
+            wang_sample, (color, rng), None, length=cfg.spp
+        )
     else:
         # counter RNG: every sample is an independent addressable stream,
         # so the spp axis rolls up in a lax.fori_loop (or shards across

@@ -21,7 +21,7 @@ def gradient_sky(width: int = 64, height: int = 32, seed: int = 0) -> np.ndarray
         [
             0.2 + 0.8 * v + 0.1 * np.sin(2 * np.pi * u),
             0.3 + 0.6 * v + 0.1 * np.cos(2 * np.pi * u),
-            0.5 + 0.5 * v,
+            0.5 + 0.5 * v + 0.0 * u,
         ],
         axis=-1,
     ).astype(np.float32)
