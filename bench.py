@@ -1,0 +1,64 @@
+"""Benchmark entry: prints ONE JSON line for the driver.
+
+Headline metric: forward path-trace throughput in Mrays/s/chip at the
+reference default workload — 1280x720, 8 bounces, 1 spp/frame, env map
+(global_preprocessor_flags.h:30-40) — measured with the reference's
+offline protocol (warmup frames, then mean wall-clock ms/frame,
+Application.cpp:420-452). Ray accounting uses PRIMARY rays (W*H*spp),
+the conservative convention (bounce segments would be ~9x higher).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+comparison is against the driver-set target of 500 Mrays/s/chip
+(BASELINE.json north star): vs_baseline = value / 500.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    import jax
+
+    frames = int(os.environ.get("BENCH_FRAMES", "30"))
+    backend = os.environ.get("BENCH_BACKEND", "")
+
+    from cpuperformanceraytracer_tpu.config import RenderConfig
+    from cpuperformanceraytracer_tpu.render.driver import OfflineRenderer
+    from cpuperformanceraytracer_tpu.texture.procedural import gradient_sky
+    from cpuperformanceraytracer_tpu.texture.texture import (
+        load_texture,
+        texture_from_array,
+    )
+
+    ref_hdr = "/root/reference/Textures/HDR_040_Field_Env.hdr"
+    if os.path.exists(ref_hdr):
+        texture = load_texture(ref_hdr)
+    else:
+        texture = texture_from_array(gradient_sky(512, 256))
+
+    cfg = RenderConfig(
+        width=1280, height=720, spp=1, bounces=8,
+        scene="glass_spheres", env_mode="equirect",
+        env_sampling="stochastic", rng="wang",
+        num_frames=frames, warmup_frames=2,
+    )
+    if backend:
+        cfg = cfg.replace(backend=backend)
+
+    renderer = OfflineRenderer(cfg, texture=texture, silent=True)
+    timer = renderer.run()
+
+    rays_per_frame = cfg.width * cfg.height * cfg.spp
+    mrays = timer.rays_per_second(rays_per_frame) / 1e6
+    target = 500.0  # Mrays/s/chip, BASELINE.json north star
+    print(json.dumps({
+        "metric": "fwd_primary_Mrays_per_s_per_chip_1280x720_8bounce",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

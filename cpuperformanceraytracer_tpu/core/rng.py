@@ -55,9 +55,12 @@ def rand01(state: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     does.
     """
     state = wang_hash(state)
-    value = (state & _u32(0x7FFFFFFF)).astype(jnp.float32) * jnp.float32(
-        1.0 / 2147483648.0
-    )
+    # route the cast through int32: the mask clears the sign bit so the
+    # reinterpretation is value-preserving, and i32->f32 is supported
+    # everywhere (Mosaic has no u32->f32 cast)
+    value = (state & _u32(0x7FFFFFFF)).astype(jnp.int32).astype(
+        jnp.float32
+    ) * jnp.float32(1.0 / 2147483648.0)
     return value, state
 
 
@@ -137,9 +140,9 @@ def threefry2x32(key0, key1, ctr0, ctr1) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def counter_rand01(key0, key1, ctr0, ctr1) -> jnp.ndarray:
     """One uniform [0,1) float addressed purely by (key, counter)."""
     bits, _ = threefry2x32(key0, key1, ctr0, ctr1)
-    return (bits & _u32(0x7FFFFFFF)).astype(jnp.float32) * jnp.float32(
-        1.0 / 2147483648.0
-    )
+    return (bits & _u32(0x7FFFFFFF)).astype(jnp.int32).astype(
+        jnp.float32
+    ) * jnp.float32(1.0 / 2147483648.0)
 
 
 class CounterRng(NamedTuple):

@@ -1,0 +1,82 @@
+"""Inverse rendering: recover scene parameters from a target image by
+pixel-gradient descent (BASELINE.json config 4).
+
+Adam over a parameter pytree; each step renders with a fresh frame index
+(fresh sample set — stochastic gradient descent over the path space) and
+follows the L2 pixel gradient. The whole step is one jitted function;
+under a mesh-sharded loss the parameter gradients all-reduce over ICI
+automatically through the shard_map transpose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cpuperformanceraytracer_tpu.config import RenderConfig
+from cpuperformanceraytracer_tpu.core.vecmath import Vec3
+from cpuperformanceraytracer_tpu.diff.grad import image_loss, render_for_params
+
+
+@dataclasses.dataclass
+class InverseProblem:
+    scene: object
+    camera: object
+    texture: object
+    cfg: RenderConfig
+    target: Vec3
+
+
+def make_train_step(problem: InverseProblem, optimizer,
+                    resample_frames: bool = False) -> Callable:
+    """(params, opt_state, step) -> (params, opt_state, loss), jitted.
+
+    resample_frames=False keeps one fixed sample set: the loss is
+    deterministic in the params and descent converges fast (correlated
+    sampling — the target must be rendered with the same cfg/frame).
+    True gives unbiased stochastic gradients over path space at the cost
+    of gradient noise (use a lower learning rate / more spp).
+    """
+
+    def loss_fn(params, frame):
+        img = render_for_params(params, problem.scene, problem.camera,
+                                problem.texture, problem.cfg,
+                                frame if resample_frames else 0)
+        return image_loss(img, problem.target)
+
+    @jax.jit
+    def train_step(params, opt_state, step):
+        loss, grads = jax.value_and_grad(loss_fn)(params, step)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def adam_inverse_render(
+    problem: InverseProblem,
+    init_params: Dict,
+    steps: int = 200,
+    learning_rate: float = 0.01,
+    resample_frames: bool = False,
+    log_every: int = 0,
+    logger=None,
+) -> tuple:
+    """Run Adam; returns (final_params, losses)."""
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(init_params)
+    train_step = make_train_step(problem, optimizer, resample_frames)
+
+    params = init_params
+    losses: List[float] = []
+    for i in range(steps):
+        params, opt_state, loss = train_step(params, opt_state, i)
+        if log_every and logger and i % log_every == 0:
+            logger.info("inverse step %d loss %.6f", i, float(loss))
+        losses.append(float(loss))
+    return params, losses

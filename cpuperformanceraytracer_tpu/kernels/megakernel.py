@@ -1,0 +1,505 @@
+"""Fused Pallas path-tracing megakernel.
+
+One grid step = one (BH, BW) pixel block. The whole per-sample pipeline —
+wang-hash RNG, camera ray, the full bounce loop with blend-chain
+intersection over every quad/sphere, Fresnel material lottery, Beer
+absorption, Russian roulette — runs on (BH, BW) f32 tiles that live in
+VMEM/vector registers; nothing per-ray ever round-trips to HBM. This is
+the TPU re-derivation of the reference's 8-wide SIMD megaloop
+(GetColorForRay, demofox_path_tracing_optimization_v4.cpp:722-910) with
+the (8,128) vector register file as the "packet".
+
+Scene data rides in SMEM ((N,K) f32 tables, scalar-read per object and
+broadcast), mirroring how the reference keeps the scene in L1-resident
+SoA (Scene :364-377). Per-object loops are python-unrolled blend chains
+exactly like TestSceneTrace (:699-718).
+
+Environment radiance is DEFERRED: each path needs at most one env-map
+texel (first miss kills the path), so the kernel emits
+(missed, miss_dir, miss_throughput, jitter) planes and the env gather +
+final add happens outside in XLA — one gather per pixel per sample
+instead of one per bounce. RNG draw order matches the oracle exactly
+(render/integrator.py draw-order contract).
+
+Constraint: the wang RNG stream is sequential per (pixel, frame) across
+the spp loop, which the kernel reproduces; the counter RNG is also
+supported. Parity: allclose vs the oracle integrator (tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cpuperformanceraytracer_tpu.config import RenderConfig
+from cpuperformanceraytracer_tpu.core.rng import CounterRng, WangRng
+from cpuperformanceraytracer_tpu.core.vecmath import (
+    Vec3,
+    dot3,
+    fresnel_reflect_amount,
+    reflect,
+    refract,
+)
+from cpuperformanceraytracer_tpu.render.integrator import (
+    MIN_RAY_HIT_TIME,
+    MIN_RAY_PROBABILITY,
+    RAY_POS_NORMAL_NUDGE,
+    SUPER_FAR,
+)
+from cpuperformanceraytracer_tpu.core.sampling import (
+    random_unit_vector_normalized3,
+    random_unit_vector_zangle,
+)
+from cpuperformanceraytracer_tpu.scene.types import Scene, precompute_quads
+from cpuperformanceraytracer_tpu.texture.texture import sample_environment_deferred
+
+
+def _safe_normalize(v: Vec3) -> Vec3:
+    # exact 1/sqrt, bit-matching the oracle's _safe_normalize (parity
+    # policy: no fast-math divergence between kernel and oracle)
+    d2 = jnp.maximum(dot3(v, v), 1e-20)
+    return v * (1.0 / jnp.sqrt(d2))
+
+
+def _w3(cond, new: Vec3, old: Vec3) -> Vec3:
+    return Vec3(
+        jnp.where(cond, new.x, old.x),
+        jnp.where(cond, new.y, old.y),
+        jnp.where(cond, new.z, old.z),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Scene packing: pytrees -> flat f32 tables for SMEM
+# ----------------------------------------------------------------------------
+
+QUAD_COLS = 25  # v0(3) n(3) nxv01/12/20/02/23/30 (18) mat(1)
+SPH_COLS = 5    # center(3) radius(1) mat(1)
+MAT_COLS = 17   # SMaterialInfo fields in SoA order (v4 :330-349)
+
+
+def pack_scene(scene: Scene):
+    d = precompute_quads(scene.quads)
+    q = scene.quads
+
+    def cat3(v):
+        return [v.x, v.y, v.z]
+
+    quad_tbl = jnp.stack(
+        cat3(q.v0) + cat3(d.normal) + cat3(d.nxv01) + cat3(d.nxv12)
+        + cat3(d.nxv20) + cat3(d.nxv02) + cat3(d.nxv23) + cat3(d.nxv30)
+        + [q.material.astype(jnp.float32)],
+        axis=-1,
+    )  # (NQ, 25)
+    s = scene.spheres
+    sph_tbl = jnp.stack(
+        cat3(s.center) + [s.radius, s.material.astype(jnp.float32)], axis=-1
+    )  # (NS, 5)
+    m = scene.materials
+    mat_tbl = jnp.stack(
+        cat3(m.albedo) + cat3(m.emissive)
+        + [m.specular_chance, m.specular_roughness]
+        + cat3(m.specular_color)
+        + [m.ior, m.refraction_chance, m.refraction_roughness]
+        + cat3(m.refraction_color),
+        axis=-1,
+    )  # (NM, 17)
+    return quad_tbl, sph_tbl, mat_tbl
+
+
+class _SmemRng:
+    """WangRng-compatible draw API over a (BH, BW) u32 state tile."""
+
+    def __init__(self, state):
+        self.state = state
+
+    def next01(self):
+        from cpuperformanceraytracer_tpu.core.rng import rand01
+
+        v, s = rand01(self.state)
+        return v, _SmemRng(s)
+
+
+class _CtrRng:
+    """CounterRng-compatible draw API over (BH, BW) key tiles."""
+
+    def __init__(self, key0, key1, ctr):
+        self.key0, self.key1, self.ctr = key0, key1, ctr
+
+    def next01(self):
+        from cpuperformanceraytracer_tpu.core.rng import counter_rand01
+
+        v = counter_rand01(self.key0, self.key1, self.ctr, jnp.uint32(0))
+        return v, _CtrRng(self.key0, self.key1, self.ctr + jnp.uint32(1))
+
+
+def _scalar3(ref, row, col0) -> Vec3:
+    return Vec3(ref[row, col0], ref[row, col0 + 1], ref[row, col0 + 2])
+
+
+def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
+                 bh: int, bw: int):
+    """Build the kernel body for static (cfg, scene sizes, block shape)."""
+    height, width = cfg.height, cfg.width
+    env_draws = cfg.env_mode != "none" and cfg.env_sampling == "stochastic"
+    unit_vec = (random_unit_vector_zangle
+                if cfg.unit_vector_sampler == "zangle"
+                else random_unit_vector_normalized3)
+
+    def trace(quad_ref, sph_ref, pos: Vec3, dir: Vec3):
+        """Blend-chain nearest hit over all objects (TestSceneTrace
+        analog): returns (dist, normal, from_inside, mat_idx_f32)."""
+        best = jnp.full((bh, bw), SUPER_FAR, jnp.float32)
+        normal = Vec3(jnp.zeros((bh, bw)), jnp.zeros((bh, bw)),
+                      jnp.ones((bh, bw)))
+        inside = jnp.zeros((bh, bw), jnp.bool_)
+        mat = jnp.zeros((bh, bw), jnp.float32)
+
+        for qi in range(nq):
+            v0 = _scalar3(quad_ref, qi, 0)
+            n = _scalar3(quad_ref, qi, 3)
+            nxv01 = _scalar3(quad_ref, qi, 6)
+            nxv12 = _scalar3(quad_ref, qi, 9)  # noqa: F841 (kept for clarity)
+            nxv20 = _scalar3(quad_ref, qi, 12)
+            nxv02 = _scalar3(quad_ref, qi, 15)
+            nxv23 = _scalar3(quad_ref, qi, 18)  # noqa: F841
+            nxv30 = _scalar3(quad_ref, qi, 21)
+            mq = quad_ref[qi, 24]
+
+            ray_off = Vec3(v0.x - pos.x, v0.y - pos.y, v0.z - pos.z)
+            denom = dot3(dir, n)
+            denom = jnp.where(jnp.abs(denom) < 1e-12,
+                              jnp.where(denom < 0, -1e-12, 1e-12), denom)
+            dist = dot3(ray_off, n) / denom
+            hitp = dir * dist - ray_off
+            a0 = dot3(hitp, nxv01)
+            a1 = dot3(hitp, nxv20)
+            b0 = dot3(hitp, nxv30)
+            b1 = dot3(hitp, nxv02)
+            tri1 = (a0 >= 0.0) & (a1 >= 0.0) & (1.0 - a0 - a1 >= 0.0)
+            tri2 = (b0 >= 0.0) & (b1 >= 0.0) & (1.0 - b0 - b1 >= 0.0)
+            valid = (tri1 | tri2) & (dist > MIN_RAY_HIT_TIME) & (dist < best)
+
+            flip = dot3(dir, n) > 0.0
+            qn = Vec3(jnp.where(flip, -n.x, n.x), jnp.where(flip, -n.y, n.y),
+                      jnp.where(flip, -n.z, n.z))
+            best = jnp.where(valid, dist, best)
+            normal = _w3(valid, qn, normal)
+            inside = inside & ~valid  # quads never report from-inside
+            mat = jnp.where(valid, mq, mat)
+
+        for si in range(ns):
+            c = _scalar3(sph_ref, si, 0)
+            r = sph_ref[si, 3]
+            ms = sph_ref[si, 4]
+            m_ = Vec3(pos.x - c.x, pos.y - c.y, pos.z - c.z)
+            b = dot3(m_, dir)
+            cc = dot3(m_, m_) - r * r
+            discr = b * b - cc
+            miss = ((cc > 0.0) & (b > 0.0)) | (discr < 0.0)
+            sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+            from_in = -b < sq
+            dist = jnp.where(from_in, sq, -sq) - b
+            valid = (~miss) & (dist > MIN_RAY_HIT_TIME) & (dist < best)
+            hit_rel = m_ + dir * dist
+            sgn = jnp.where(from_in, -1.0, 1.0)
+            sn = _safe_normalize(hit_rel) * sgn
+            best = jnp.where(valid, dist, best)
+            normal = _w3(valid, sn, normal)
+            inside = (valid & from_in) | (~valid & inside)
+            mat = jnp.where(valid, ms, mat)
+
+        return best, normal, inside, mat
+
+    def fetch_material(mat_ref, idx):
+        """17-field select chain over NM materials (GatherMaterials
+        analog via broadcast-compare-select)."""
+        fields = [jnp.zeros((bh, bw), jnp.float32) for _ in range(MAT_COLS)]
+        for mi in range(nm):
+            sel = idx == float(mi)
+            for k in range(MAT_COLS):
+                fields[k] = jnp.where(sel, mat_ref[mi, k], fields[k])
+        return fields
+
+    def sample_once(quad_ref, sph_ref, mat_ref, cam_ref, rng,
+                    frag_x, frag_y):
+        """One full camera sample: returns (ret, miss_state, rng)."""
+        # camera ray (mainImage analog)
+        if cfg.jitter:
+            jx, rng = rng.next01()
+            jy, rng = rng.next01()
+            fx = frag_x + (jx - 0.5)
+            fy = frag_y + (jy - 0.5)
+        else:
+            fx, fy = frag_x, frag_y
+        u = (fx / width) * 2.0 - 1.0
+        v = (fy / height) * 2.0 - 1.0
+        v = v * (height / width)
+        cam_pos = Vec3(
+            jnp.full((bh, bw), cam_ref[0]),
+            jnp.full((bh, bw), cam_ref[1]),
+            jnp.full((bh, bw), cam_ref[2]),
+        )
+        target = Vec3(u, v, jnp.full((bh, bw), cam_ref[4] * cam_ref[3]))
+        dir = _safe_normalize(target)
+        pos = cam_pos
+
+        ret = Vec3(*(jnp.zeros((bh, bw)) for _ in range(3)))
+        thr = Vec3(*(jnp.ones((bh, bw)) for _ in range(3)))
+        alive = jnp.ones((bh, bw), jnp.bool_)
+        missed = jnp.zeros((bh, bw), jnp.bool_)
+        miss_dir = Vec3(jnp.zeros((bh, bw)), jnp.zeros((bh, bw)),
+                        jnp.ones((bh, bw)))
+        miss_thr = Vec3(*(jnp.zeros((bh, bw)) for _ in range(3)))
+        miss_jr = jnp.zeros((bh, bw))
+        miss_jc = jnp.zeros((bh, bw))
+
+        for _ in range(cfg.bounces + 1):
+            dist, normal, from_inside, mat_idx = trace(quad_ref, sph_ref,
+                                                       pos, dir)
+            if env_draws:
+                jr, rng = rng.next01()
+                jc, rng = rng.next01()
+            else:
+                jr = jc = jnp.zeros((bh, bw))
+
+            miss = dist >= SUPER_FAR
+            first_miss = alive & miss
+            update = alive & ~miss
+
+            if cfg.env_mode == "none":
+                # constant ambient needs no gather: add inline (correct
+                # for any spp); cam_ref[5:8] carries the ambient color
+                ret = Vec3(
+                    jnp.where(first_miss, ret.x + cam_ref[5] * thr.x, ret.x),
+                    jnp.where(first_miss, ret.y + cam_ref[6] * thr.y, ret.y),
+                    jnp.where(first_miss, ret.z + cam_ref[7] * thr.z, ret.z),
+                )
+            miss_dir = _w3(first_miss, dir, miss_dir)
+            miss_thr = _w3(first_miss, thr, miss_thr)
+            miss_jr = jnp.where(first_miss, jr, miss_jr)
+            miss_jc = jnp.where(first_miss, jc, miss_jc)
+            missed = missed | first_miss
+
+            f = fetch_material(mat_ref, mat_idx)
+            (al_r, al_g, al_b, em_r, em_g, em_b, spec_ch, spec_rough,
+             sc_r, sc_g, sc_b, ior, refr_ch, refr_rough,
+             rc_r, rc_g, rc_b) = f
+            albedo = Vec3(al_r, al_g, al_b)
+            emissive = Vec3(em_r, em_g, em_b)
+            spec_color = Vec3(sc_r, sc_g, sc_b)
+            refr_color = Vec3(rc_r, rc_g, rc_b)
+
+            d_safe = jnp.where(miss, 0.0, dist)
+
+            # Beer absorption
+            new_thr = Vec3(
+                jnp.where(from_inside, thr.x * jnp.exp(-refr_color.x * d_safe), thr.x),
+                jnp.where(from_inside, thr.y * jnp.exp(-refr_color.y * d_safe), thr.y),
+                jnp.where(from_inside, thr.z * jnp.exp(-refr_color.z * d_safe), thr.z),
+            )
+
+            # Fresnel-adjusted lottery
+            has_spec = spec_ch > 0.0
+            n1 = jnp.where(from_inside, ior, 1.0)
+            n2 = jnp.where(from_inside, 1.0, ior)
+            fres = fresnel_reflect_amount(n1, n2, normal, dir, spec_ch,
+                                          jnp.float32(1.0))
+            chance_mult = (1.0 - fres) / jnp.maximum(1.0 - spec_ch, 1e-6)
+            spec_chance = jnp.where(has_spec, fres, spec_ch)
+            refr_chance = jnp.where(has_spec, refr_ch * chance_mult, refr_ch)
+
+            roll, rng = rng.next01()
+            do_spec = (spec_chance > 0.0) & (roll < spec_chance)
+            do_refr = (~do_spec) & (refr_chance > 0.0) & (
+                roll < spec_chance + refr_chance)
+
+            diff_chance = jnp.maximum(1.0 - (spec_chance + refr_chance), 0.0)
+            ray_prob = jnp.where(do_spec, spec_chance,
+                                 jnp.where(do_refr, refr_chance, diff_chance))
+            ray_prob = jnp.maximum(ray_prob, MIN_RAY_PROBABILITY)
+
+            nudge = jnp.where(do_refr, -RAY_POS_NORMAL_NUDGE,
+                              RAY_POS_NORMAL_NUDGE)
+            new_pos = pos + dir * d_safe + normal * nudge
+
+            unit_d, rng = unit_vec(rng)
+            diffuse_dir = _safe_normalize(normal + unit_d)
+            spec_dir = reflect(dir, normal)
+            spec_dir = spec_dir + (diffuse_dir - spec_dir) * (
+                spec_rough * spec_rough)
+            eta = jnp.where(from_inside, ior, 1.0 / ior)
+            refr_dir = refract(dir, normal, eta)
+            unit_r, rng = unit_vec(rng)
+            refr_target = _safe_normalize(unit_r - normal)
+            refr_dir = refr_dir + (refr_target - refr_dir) * (
+                refr_rough * refr_rough)
+
+            new_dir = _w3(do_spec, spec_dir,
+                          _w3(do_refr, refr_dir, diffuse_dir))
+            new_dir = _safe_normalize(new_dir)
+
+            new_ret = ret + emissive * new_thr
+            color_factor = _w3(do_spec, spec_color, albedo)
+            new_thr = Vec3(
+                jnp.where(do_refr, new_thr.x, new_thr.x * color_factor.x),
+                jnp.where(do_refr, new_thr.y, new_thr.y * color_factor.y),
+                jnp.where(do_refr, new_thr.z, new_thr.z * color_factor.z),
+            )
+            new_thr = new_thr * (1.0 / ray_prob)
+
+            if cfg.roulette != "off":
+                p = jnp.clip(
+                    jnp.maximum(new_thr.x, jnp.maximum(new_thr.y, new_thr.z)),
+                    0.0, 1.0)
+                rr, rng = rng.next01()
+                terminated = rr > p
+                boost = 1.0 / jnp.maximum(p, MIN_RAY_PROBABILITY)
+                new_thr = Vec3(
+                    jnp.where(terminated, new_thr.x, new_thr.x * boost),
+                    jnp.where(terminated, new_thr.y, new_thr.y * boost),
+                    jnp.where(terminated, new_thr.z, new_thr.z * boost),
+                )
+                if cfg.roulette == "terminate":
+                    update = update & ~terminated
+
+            ret = _w3(update, new_ret, ret)
+            thr = _w3(update, new_thr, thr)
+            pos = _w3(update, new_pos, pos)
+            dir = _w3(update, new_dir, dir)
+            alive = update
+
+        return (ret, (miss_dir, miss_thr, miss_jr, miss_jc, missed), rng)
+
+    def kernel(frame_ref, quad_ref, sph_ref, mat_ref, cam_ref,
+               r_ref, g_ref, b_ref, md_x, md_y, md_z,
+               mt_x, mt_y, mt_z, jr_ref, jc_ref, missed_ref):
+        bi = pl.program_id(0)
+        bj = pl.program_id(1)
+        row = bi * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+        col = bj * bw + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+        fy_i = (height - 1) - row
+        frag_x = col.astype(jnp.float32)
+        frag_y = fy_i.astype(jnp.float32)
+        frame = frame_ref[0]
+
+        # Mosaic lacks f32->u32 casts; derive the RNG seed coords from the
+        # integer iotas instead (identical values)
+        fx_u = col.astype(jnp.uint32)
+        fy_u = fy_i.astype(jnp.uint32)
+
+        acc = Vec3(*(jnp.zeros((bh, bw)) for _ in range(3)))
+        miss_state = None
+        if cfg.rng == "wang":
+            seed = (fx_u * jnp.uint32(1973) + fy_u * jnp.uint32(9277)
+                    + frame.astype(jnp.uint32) * jnp.uint32(26699)) | jnp.uint32(1)
+            rng = _SmemRng(seed)
+            for _ in range(cfg.spp):
+                ret, miss_state, rng = sample_once(
+                    quad_ref, sph_ref, mat_ref, cam_ref, rng, frag_x, frag_y)
+                acc = acc + ret * (1.0 / cfg.spp)
+        else:
+            for s in range(cfg.spp):
+                key0 = fx_u * jnp.uint32(1973) + fy_u * jnp.uint32(9277)
+                key1 = (frame.astype(jnp.uint32) * jnp.uint32(26699)
+                        + jnp.uint32(s) * jnp.uint32(40503) + jnp.uint32(1))
+                rng = _CtrRng(key0, key1, jnp.zeros((bh, bw), jnp.uint32))
+                ret, miss_state, rng = sample_once(
+                    quad_ref, sph_ref, mat_ref, cam_ref, rng, frag_x, frag_y)
+                acc = acc + ret * (1.0 / cfg.spp)
+
+        miss_dir, miss_thr, miss_jr, miss_jc, missed = miss_state
+        r_ref[:] = acc.x
+        g_ref[:] = acc.y
+        b_ref[:] = acc.z
+        md_x[:] = miss_dir.x
+        md_y[:] = miss_dir.y
+        md_z[:] = miss_dir.z
+        mt_x[:] = miss_thr.x
+        mt_y[:] = miss_thr.y
+        mt_z[:] = miss_thr.z
+        jr_ref[:] = miss_jr
+        jc_ref[:] = miss_jc
+        missed_ref[:] = jnp.where(missed, 1.0, 0.0)
+
+    return kernel
+
+
+def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
+                        frame) -> Vec3:
+    """Pallas-backed frame render; signature-compatible with
+    render_frame. The deferred env gather + final add runs in XLA after
+    the kernel.
+
+    Restriction: with spp > 1 the deferred miss-state is only tracked
+    for the LAST sample, so spp > 1 requires env_mode == "none" for now
+    (frame accumulation covers multi-sample rendering; the in-kernel
+    env gather lands with the VMEM-resident texture path).
+    """
+    cfg = cfg.validate()
+    if cfg.spp > 1 and cfg.env_mode != "none":
+        raise NotImplementedError(
+            "pallas backend: spp>1 with an env map not yet supported "
+            "(use frame accumulation or backend='xla')"
+        )
+    bh, bw = cfg.tile_height, cfg.tile_width
+    if cfg.height % bh or cfg.width % bw:
+        raise ValueError(
+            f"resolution {cfg.width}x{cfg.height} not divisible by "
+            f"tile {bw}x{bh}"
+        )
+
+    quad_tbl, sph_tbl, mat_tbl = pack_scene(scene)
+    nq, ns, nm = quad_tbl.shape[0], sph_tbl.shape[0], mat_tbl.shape[0]
+    a = cfg.ambient
+    cam_tbl = jnp.stack([
+        camera.position.x, camera.position.y, camera.position.z,
+        camera.distance, camera.forward_z,
+        jnp.float32(a[0]), jnp.float32(a[1]), jnp.float32(a[2]),
+    ])
+
+    kernel = _make_kernel(cfg, nq, ns, nm, bh, bw)
+    grid = (cfg.height // bh, cfg.width // bw)
+
+    smem = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                                      memory_space=pltpu.SMEM)
+    blk = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                       memory_space=pltpu.VMEM)
+    plane = jax.ShapeDtypeStruct((cfg.height, cfg.width), jnp.float32)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            smem((1,)),
+            smem((nq, QUAD_COLS)),
+            smem((ns, SPH_COLS)),
+            smem((nm, MAT_COLS)),
+            smem((8,)),
+        ],
+        out_specs=[blk] * 12,
+        out_shape=[plane] * 12,
+    )(
+        jnp.asarray(frame, jnp.int32).reshape(1),
+        quad_tbl, sph_tbl, mat_tbl, cam_tbl,
+    )
+
+    (r, g, b, mdx, mdy, mdz, mtx, mty, mtz, jr, jc, missed) = outs
+
+    if cfg.env_mode == "none":
+        # ambient already added in-kernel (constant, no gather needed)
+        return Vec3(r, g, b)
+
+    miss_dir = Vec3(mdx, mdy, mdz)
+    env = sample_environment_deferred(texture, miss_dir, cfg, jr, jc)
+    missed_b = missed > 0.5
+    return Vec3(
+        jnp.where(missed_b, r + env.x * mtx, r),
+        jnp.where(missed_b, g + env.y * mty, g),
+        jnp.where(missed_b, b + env.z * mtz, b),
+    )

@@ -27,7 +27,7 @@ from cpuperformanceraytracer_tpu.render.frame import (
 )
 from cpuperformanceraytracer_tpu.scene.presets import scene_by_name
 from cpuperformanceraytracer_tpu.utils.log import get_logger, progress
-from cpuperformanceraytracer_tpu.utils.timing import FrameTimer
+from cpuperformanceraytracer_tpu.utils.timing import FrameTimer, device_sync
 
 
 @dataclasses.dataclass
@@ -82,12 +82,12 @@ class OfflineRenderer:
             scratch = self.frame_fn(
                 self.scene, self.camera, self.texture, 0, zero_accum(cfg)
             )
-            jax.block_until_ready(scratch)
+            device_sync(scratch)
 
         for i in range(cfg.num_frames):
             timer.frame_start()
             self.step()
-            jax.block_until_ready(self.state.accum)
+            device_sync(self.state.accum)  # real join barrier (see timing.py)
             timer.frame_end()
             progress(self.log, i, cfg.num_frames)
             if checkpoint_path and checkpoint_every and (

@@ -43,7 +43,10 @@ from cpuperformanceraytracer_tpu.core.vecmath import (
     vec3,
 )
 from cpuperformanceraytracer_tpu.scene.types import Scene, precompute_quads
-from cpuperformanceraytracer_tpu.texture.texture import sample_environment
+from cpuperformanceraytracer_tpu.texture.texture import (
+    env_draws_per_bounce,
+    sample_environment_deferred,
+)
 
 # Kernel constants (demofox_path_tracing_optimization_v4.cpp:8-26)
 MIN_RAY_HIT_TIME = 0.01
@@ -225,21 +228,40 @@ def color_for_ray(scene: Scene, derived, texture, cfg, start_pos: Vec3,
         here; "terminate" implements the correct v3-scalar semantics.
     Returns (color Vec3, rng).
     """
+    env_draws = env_draws_per_bounce(texture, cfg)
+
     def bounce_body(_, carry):
-        ret, throughput, pos, dir, alive, rng = carry
+        ret, throughput, pos, dir, alive, miss_state, rng = carry
         hit = trace_scene(scene, derived, pos, dir)
 
-        # env radiance evaluated (and its rng draws consumed) every
-        # iteration, exactly like v4 :745-779
-        env, rng = sample_environment(texture, dir, cfg, rng)
+        # env jitter draws are consumed every iteration (stream contract,
+        # mirroring v4's unconditional per-bounce env sampling :745-779) —
+        # but the LOOKUP is deferred: a path consumes env radiance at most
+        # once (at its first miss, after which it is dead), so the gather
+        # happens once per path after the loop, not once per bounce.
+        if env_draws:
+            jr, rng = rng.next01()
+            jc, rng = rng.next01()
+        else:
+            jr = jc = jnp.float32(0.0)
 
         miss = hit.dist >= SUPER_FAR
         first_miss = alive & miss
         update = alive & ~miss
-        ret = Vec3(
-            jnp.where(first_miss, ret.x + env.x * throughput.x, ret.x),
-            jnp.where(first_miss, ret.y + env.y * throughput.y, ret.y),
-            jnp.where(first_miss, ret.z + env.z * throughput.z, ret.z),
+
+        miss_dir, miss_thr, miss_jr, miss_jc, missed = miss_state
+
+        def cap(new, old):
+            return jnp.where(first_miss, new, old)
+
+        miss_state = (
+            Vec3(cap(dir.x, miss_dir.x), cap(dir.y, miss_dir.y),
+                 cap(dir.z, miss_dir.z)),
+            Vec3(cap(throughput.x, miss_thr.x), cap(throughput.y, miss_thr.y),
+                 cap(throughput.z, miss_thr.z)),
+            cap(jr, miss_jr),
+            cap(jc, miss_jc),
+            missed | first_miss,
         )
 
         mat = fetch_material(scene, hit.material_index)
@@ -355,9 +377,12 @@ def color_for_ray(scene: Scene, derived, texture, cfg, start_pos: Vec3,
         throughput = w3(new_thr, throughput)
         pos = w3(new_pos, pos)
         dir = w3(new_dir, dir)
-        return (ret, throughput, pos, dir, update, rng)
+        return (ret, throughput, pos, dir, update, miss_state, rng)
 
-    carry = (vec3(0.0), vec3(1.0), start_pos, start_dir, jnp.bool_(True), rng)
+    miss_state0 = (vec3(0.0, 0.0, 1.0), vec3(0.0), jnp.float32(0.0),
+                   jnp.float32(0.0), jnp.bool_(False))
+    carry = (vec3(0.0), vec3(1.0), start_pos, start_dir, jnp.bool_(True),
+             miss_state0, rng)
     n_segments = cfg.bounces + 1
     if getattr(cfg, "unroll_bounces", False):
         for i in range(n_segments):
@@ -366,7 +391,18 @@ def color_for_ray(scene: Scene, derived, texture, cfg, start_pos: Vec3,
         # rolled loop: keeps the traced graph one-bounce-sized, which is
         # what keeps XLA compile time sane at 8 bounces x high spp
         carry = lax.fori_loop(0, n_segments, bounce_body, carry)
-    ret, _, _, _, _, rng = carry
+    ret, _, _, _, _, miss_state, rng = carry
+
+    # deferred env lookup: ONE texel gather per path (vs one per bounce) —
+    # identical values, since only the first-miss bounce's jitter/dir/
+    # throughput ever reached the output
+    miss_dir, miss_thr, miss_jr, miss_jc, missed = miss_state
+    env = sample_environment_deferred(texture, miss_dir, cfg, miss_jr, miss_jc)
+    ret = Vec3(
+        jnp.where(missed, ret.x + env.x * miss_thr.x, ret.x),
+        jnp.where(missed, ret.y + env.y * miss_thr.y, ret.y),
+        jnp.where(missed, ret.z + env.z * miss_thr.z, ret.z),
+    )
     return ret, rng
 
 
@@ -390,16 +426,21 @@ def camera_ray(camera, x, y, width, height, rng, jitter: bool):
     return camera.position, direction, rng
 
 
-def render_pixel(scene: Scene, camera, texture, cfg, x, y, frame):
-    """One pixel, cfg.spp samples averaged (mainImage spp loop, v4
-    :1125-1129). x/y are float fragCoords; frame is the accumulation
-    index (also the RNG epoch).
+def render_pixel(scene: Scene, camera, texture, cfg, x, y, frame,
+                 spp_offset=0, spp_count=None):
+    """One pixel, ``spp_count`` (default cfg.spp) samples averaged
+    (mainImage spp loop, v4 :1125-1129). x/y are float fragCoords; frame
+    is the accumulation index (also the RNG epoch).
 
     wang RNG: one sequential stream per (pixel, frame) shared by jitter
     and all samples, exactly like the reference. counter RNG: one
     addressable stream per (pixel, frame, sample) — jitter then re-drawn
-    per sample, which is what makes the sample axis shardable.
+    per sample, which is what makes the sample axis shardable:
+    ``spp_offset`` names this shard's first sample index (parallel/shard.py
+    passes axis_index * spp_local).
     """
+    if spp_count is None:
+        spp_count = cfg.spp
     xi = x.astype(jnp.uint32) if hasattr(x, "astype") else jnp.uint32(x)
     yi = y.astype(jnp.uint32) if hasattr(y, "astype") else jnp.uint32(y)
     derived = precompute_quads(scene.quads)
@@ -415,22 +456,25 @@ def render_pixel(scene: Scene, camera, texture, cfg, x, y, frame):
             acc, rng = carry
             c, rng = color_for_ray(scene, derived, texture, cfg, origin,
                                    direction, rng)
-            return (acc + c * (1.0 / cfg.spp), rng), None
+            return (acc + c * (1.0 / spp_count), rng), None
 
         (color, rng), _ = lax.scan(
-            wang_sample, (color, rng), None, length=cfg.spp
+            wang_sample, (color, rng), None, length=spp_count
         )
     else:
         # counter RNG: every sample is an independent addressable stream,
         # so the spp axis rolls up in a lax.fori_loop (or shards across
         # devices, parallel/shard.py) without sequential-state coupling.
         def sample_body(s, acc):
-            rng = CounterRng.from_pixel(xi, yi, frame, sample=s)
+            rng = CounterRng.from_pixel(xi, yi, frame,
+                                        sample=jnp.uint32(spp_offset) + jnp.uint32(s))
             origin, direction, rng = camera_ray(
                 camera, x, y, cfg.width, cfg.height, rng, cfg.jitter
             )
             c, _ = color_for_ray(scene, derived, texture, cfg, origin, direction, rng)
             return acc + c
 
-        color = lax.fori_loop(0, cfg.spp, sample_body, vec3(0.0)) * (1.0 / cfg.spp)
+        color = lax.fori_loop(0, spp_count, sample_body, vec3(0.0)) * (
+            1.0 / spp_count
+        )
     return color

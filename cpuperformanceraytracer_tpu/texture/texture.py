@@ -117,19 +117,31 @@ def sample_bilinear(tex: Texture, uv: Vec2) -> Vec3:
     return top + (bot - top) * dv
 
 
+def sample_stochastic_with_jitter(tex: Texture, uv: Vec2, jr, jc) -> Vec3:
+    """Stochastic single-tap with caller-provided jitter pair in [0,1)^2.
+
+    Split out from :func:`sample_stochastic` so call sites can DRAW the
+    jitter inside the bounce loop (keeping the RNG stream contract) but
+    defer the actual gather to once per path — each path consumes env
+    radiance at most once, at its first miss (see
+    render/integrator.py deferred-environment note).
+    """
+    row = uv.y * (tex.height - 1)
+    col = uv.x * (tex.width - 1)
+    rand_row = jnp.floor(row + jr).astype(jnp.int32)
+    rand_col = jnp.floor(col + jc).astype(jnp.int32)
+    return _gather(tex, rand_row * tex.width + rand_col)
+
+
 def sample_stochastic(tex: Texture, uv: Vec2, rng):
     """Single-tap stochastic bilinear: jittered nearest, 2 draws
     (TexelSampleRandom, texture.cpp:78-86). In expectation this equals
     bilinear filtering, and it is the reference's default env-map path —
     which happens to be the ideal TPU shape too (one gather, no
     neighborhood taps)."""
-    row = uv.y * (tex.height - 1)
-    col = uv.x * (tex.width - 1)
     jr, rng = rng.next01()
     jc, rng = rng.next01()
-    rand_row = jnp.floor(row + jr).astype(jnp.int32)
-    rand_col = jnp.floor(col + jc).astype(jnp.int32)
-    return _gather(tex, rand_row * tex.width + rand_col), rng
+    return sample_stochastic_with_jitter(tex, uv, jr, jc), rng
 
 
 _INV_ATAN = (0.1591, 0.3183)  # (1/2pi, 1/pi), texture.cpp:145
@@ -205,6 +217,32 @@ def sample_cubemap(tex: Texture, direction: Vec3, mode: str, rng=None):
     if mode == "bilinear":
         return sample_bilinear(tex, uv), rng
     return sample_nearest(tex, uv), rng
+
+
+def env_draws_per_bounce(tex, cfg) -> int:
+    """RNG draws the env path consumes per bounce iteration (the stream
+    contract, see integrator draw-order table)."""
+    if cfg.env_mode == "none" or tex is None or cfg.env_sampling != "stochastic":
+        return 0
+    return 2
+
+
+def sample_environment_deferred(tex, direction: Vec3, cfg, jr, jc) -> Vec3:
+    """Miss-radiance lookup with pre-drawn jitter (jr/jc ignored unless
+    stochastic). Used by the deferred once-per-path env lookup."""
+    if cfg.env_mode == "none" or tex is None:
+        a = cfg.ambient
+        return Vec3(jnp.float32(a[0]), jnp.float32(a[1]), jnp.float32(a[2]))
+    if cfg.env_mode == "equirect":
+        d = Vec3(-direction.x, direction.y, -direction.z) if cfg.env_flip_xz else direction
+        uv = equirect_uv(d)
+    else:
+        uv = cubemap_uv(direction)
+    if cfg.env_sampling == "stochastic":
+        return sample_stochastic_with_jitter(tex, uv, jr, jc)
+    if cfg.env_sampling == "bilinear":
+        return sample_bilinear(tex, uv)
+    return sample_nearest(tex, uv)
 
 
 def sample_environment(tex, direction: Vec3, cfg, rng) -> Tuple[Vec3, object]:

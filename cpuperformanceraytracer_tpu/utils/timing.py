@@ -15,6 +15,21 @@ from dataclasses import dataclass, field
 from typing import List
 
 
+def device_sync(tree) -> float:
+    """Force completion of the computation producing ``tree``.
+
+    jax.block_until_ready is not trustworthy on every backend (the
+    tunneled TPU backend here returns before execution finishes), so the
+    join barrier is a 4-byte fact: slice one element on device and fetch
+    it to host — the fetch cannot complete before every producing op has.
+    Returns the fetched scalar (so callers can also sanity-check it).
+    """
+    import jax
+
+    leaf = jax.tree.leaves(tree)[0]
+    return float(leaf.ravel()[0])
+
+
 class Timer:
     """Context-manager wall-clock timer (monotonic, ns resolution)."""
 

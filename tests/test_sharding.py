@@ -1,0 +1,104 @@
+"""Sharding tests on the 8-virtual-device CPU mesh: sharded == unsharded,
+spp psum correctness, validation errors, graft-entry dry run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cpuperformanceraytracer_tpu.config import RenderConfig
+from cpuperformanceraytracer_tpu.parallel.mesh import default_mesh, make_mesh
+from cpuperformanceraytracer_tpu.parallel.shard import (
+    make_sharded_frame_fn,
+    sharded_render_frame,
+)
+from cpuperformanceraytracer_tpu.render.frame import render_frame, zero_accum
+from cpuperformanceraytracer_tpu.scene.presets import cornell_box_scene
+from cpuperformanceraytracer_tpu.texture.procedural import gradient_sky
+from cpuperformanceraytracer_tpu.texture.texture import texture_from_array
+
+
+def _cfg(**kw):
+    base = dict(width=32, height=24, spp=4, bounces=2, scene="cornell_box",
+                env_mode="none", ambient=(0.1, 0.1, 0.1), env_flip_xz=False,
+                jitter=True, roulette="off", rng="counter")
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_px_only_sharding_matches(devices8):
+    mesh = make_mesh((8, 1), ("px", "spp"))
+    scene, cam = cornell_box_scene()
+    cfg = _cfg()
+    ref = render_frame(scene, cam, None, cfg, 0)
+    sh = sharded_render_frame(scene, cam, None, cfg, 0, mesh)
+    np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ref.x), atol=1e-5)
+
+
+def test_px_spp_sharding_matches(devices8):
+    mesh = default_mesh(spp_shards=2)
+    scene, cam = cornell_box_scene()
+    cfg = _cfg()
+    ref = render_frame(scene, cam, None, cfg, 0)
+    sh = sharded_render_frame(scene, cam, None, cfg, 0, mesh)
+    np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ref.x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh.y), np.asarray(ref.y), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh.z), np.asarray(ref.z), atol=1e-5)
+
+
+def test_spp_sharding_with_texture(devices8):
+    mesh = default_mesh(spp_shards=4)
+    scene, cam = cornell_box_scene()
+    tex = texture_from_array(gradient_sky(32, 16))
+    cfg = _cfg(env_mode="equirect", env_sampling="stochastic", spp=8)
+    ref = render_frame(scene, cam, tex, cfg, 0)
+    sh = sharded_render_frame(scene, cam, tex, cfg, 0, mesh)
+    np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ref.x), atol=1e-4)
+
+
+def test_sharded_frame_fn_accumulates(devices8):
+    mesh = default_mesh(spp_shards=2)
+    scene, cam = cornell_box_scene()
+    cfg = _cfg()
+    fn = make_sharded_frame_fn(cfg, mesh)
+    acc = zero_accum(cfg)
+    for f in range(3):
+        acc = fn(scene, cam, None, f, acc)
+    ref_acc = zero_accum(cfg)
+    from cpuperformanceraytracer_tpu.render.frame import accumulate_frame
+
+    for f in range(3):
+        ref_acc = accumulate_frame(ref_acc, render_frame(scene, cam, None, cfg, f), f)
+    np.testing.assert_allclose(np.asarray(acc.x), np.asarray(ref_acc.x), atol=1e-5)
+
+
+def test_validation_errors(devices8):
+    mesh = default_mesh(spp_shards=2)
+    scene, cam = cornell_box_scene()
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded_render_frame(scene, cam, None, _cfg(height=25), 0, mesh)
+    with pytest.raises(ValueError, match="counter"):
+        sharded_render_frame(scene, cam, None, _cfg(rng="wang"), 0, mesh)
+    with pytest.raises(ValueError, match="spp"):
+        sharded_render_frame(scene, cam, None, _cfg(spp=3), 0, mesh)
+
+
+def test_graft_entry_single_chip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.isfinite(np.asarray(out.x)).all()
+
+
+def test_graft_entry_multichip(devices8):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
