@@ -1,0 +1,205 @@
+"""Command-line drivers — the TPU-native analog of the reference's
+application shell (Source.cpp / Application.cpp).
+
+The reference's two modes map as:
+  RENDER_OFFLINE 1  -> `render` (N-frame progressive render -> BMP/PNG,
+                       warmup+timed, Application.cpp:400-458)
+  windowed          -> `watch` (headless progressive render that rewrites
+                       the output image every N frames — the message pump
+                       minus the Win32 window; screenshots are just the
+                       current file, cf. the 's' key at :603-623)
+plus the new capabilities:
+  `bench`    the five BASELINE.json configs by name
+  `inverse`  inverse-rendering demo (config 4)
+
+Example:
+  python -m cpuperformanceraytracer_tpu.app.cli render \
+      --scene glass_spheres --width 1280 --height 720 --frames 600 \
+      --env /root/reference/Textures/HDR_040_Field_Env.hdr -o out.bmp
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from cpuperformanceraytracer_tpu.config import BENCH_CONFIGS, RenderConfig
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--scene", default="glass_spheres")
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--spp", type=int, default=1)
+    p.add_argument("--bounces", type=int, default=8)
+    p.add_argument("--frames", type=int, default=600)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--env", default=None, help=".hdr env map path, "
+                   "'procedural', or omit for constant ambient")
+    p.add_argument("--cubemap", nargs=6, default=None,
+                   help="six .hdr faces: px nx py ny pz nz")
+    p.add_argument("--env-sampling", default="stochastic",
+                   choices=["stochastic", "bilinear", "nearest"])
+    p.add_argument("--rng", default="wang", choices=["wang", "counter"])
+    p.add_argument("--roulette", default="v4_quirk",
+                   choices=["off", "terminate", "v4_quirk"])
+    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("-o", "--output", default="output_image.bmp")
+    p.add_argument("--silent", action="store_true")
+
+
+def _cfg_from_args(a) -> RenderConfig:
+    env_mode = "none"
+    if a.cubemap:
+        env_mode = "cubemap"
+    elif a.env:
+        env_mode = "equirect"
+    return RenderConfig(
+        width=a.width, height=a.height, spp=a.spp, bounces=a.bounces,
+        num_frames=a.frames, warmup_frames=a.warmup, scene=a.scene,
+        env_mode=env_mode, env_sampling=a.env_sampling, rng=a.rng,
+        roulette=a.roulette, backend=a.backend, exposure=a.exposure,
+    ).validate()
+
+
+def _texture_from_args(a):
+    from cpuperformanceraytracer_tpu.texture.procedural import gradient_sky
+    from cpuperformanceraytracer_tpu.texture.texture import (
+        load_cubemap_texture,
+        load_texture,
+        texture_from_array,
+    )
+
+    if a.cubemap:
+        return load_cubemap_texture(a.cubemap)
+    if a.env == "procedural":
+        return texture_from_array(gradient_sky(512, 256))
+    if a.env:
+        return load_texture(a.env)
+    return None
+
+
+def cmd_render(a) -> int:
+    from cpuperformanceraytracer_tpu.render.driver import OfflineRenderer
+
+    cfg = _cfg_from_args(a)
+    r = OfflineRenderer(cfg, texture=_texture_from_args(a), silent=a.silent)
+    if a.checkpoint:
+        r.resume(a.checkpoint)
+    timer = r.run(checkpoint_path=a.checkpoint,
+                  checkpoint_every=a.checkpoint_every)
+    r.write_image(a.output)
+    rays = cfg.width * cfg.height * cfg.spp
+    print(f"{timer.mean_ms:.3f} ms/frame; "
+          f"{timer.rays_per_second(rays) / 1e6:.1f} Mrays/s; "
+          f"wrote {a.output}")
+    return 0
+
+
+def cmd_watch(a) -> int:
+    """Progressive render; rewrite the output every --interval frames."""
+    from cpuperformanceraytracer_tpu.render.driver import OfflineRenderer
+
+    cfg = _cfg_from_args(a)
+    r = OfflineRenderer(cfg, texture=_texture_from_args(a), silent=a.silent)
+    for i in range(cfg.num_frames):
+        r.step()
+        if (i + 1) % a.interval == 0 or i == cfg.num_frames - 1:
+            r.write_image(a.output)
+            if not a.silent:
+                print(f"frame {i + 1}/{cfg.num_frames} -> {a.output}")
+    return 0
+
+
+def cmd_bench(a) -> int:
+    import json
+
+    from cpuperformanceraytracer_tpu.render.driver import OfflineRenderer
+    from cpuperformanceraytracer_tpu.texture.procedural import gradient_sky
+    from cpuperformanceraytracer_tpu.texture.texture import texture_from_array
+
+    names = a.configs or [k for k in BENCH_CONFIGS
+                          if k not in ("inverse_render", "offline_4k")]
+    for name in names:
+        cfg = BENCH_CONFIGS[name].replace(num_frames=a.frames)
+        tex = None
+        if cfg.env_mode != "none":
+            tex = texture_from_array(gradient_sky(512, 256))
+        r = OfflineRenderer(cfg, texture=tex, silent=True)
+        t = r.run()
+        rays = cfg.width * cfg.height * cfg.spp
+        print(json.dumps({
+            "config": name, "ms_per_frame": round(t.mean_ms, 3),
+            "Mrays_per_s": round(t.rays_per_second(rays) / 1e6, 2),
+        }))
+    return 0
+
+
+def cmd_inverse(a) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cpuperformanceraytracer_tpu.diff.grad import render_for_params
+    from cpuperformanceraytracer_tpu.diff.inverse import (
+        InverseProblem,
+        adam_inverse_render,
+    )
+    from cpuperformanceraytracer_tpu.scene.presets import scene_by_name
+    from cpuperformanceraytracer_tpu.utils.log import get_logger
+
+    cfg = _cfg_from_args(a).replace(rng="counter")
+    scene, cam = scene_by_name(cfg.scene)
+    tex = _texture_from_args(a)
+    target = render_for_params({}, scene, cam, tex, cfg, 0)
+
+    albedo = jnp.stack([scene.materials.albedo.x, scene.materials.albedo.y,
+                        scene.materials.albedo.z], -1)
+    centers = jnp.stack([scene.spheres.center.x, scene.spheres.center.y,
+                         scene.spheres.center.z], -1)
+    init = {"albedo": jnp.clip(albedo + 0.2, 0, 1),
+            "sphere_centers": centers + 0.3}
+
+    log = get_logger(silent=a.silent)
+    prob = InverseProblem(scene, cam, tex, cfg, target)
+    params, losses = adam_inverse_render(prob, init, steps=a.steps,
+                                         learning_rate=a.lr,
+                                         log_every=10, logger=log)
+    print(f"inverse render: loss {losses[0]:.5f} -> {losses[-1]:.5f}; "
+          f"albedo err {float(np.abs(params['albedo'] - albedo).max()):.4f}; "
+          f"center err {float(np.abs(params['sphere_centers'] - centers).max()):.4f}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="cprt-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="offline progressive render")
+    _add_common(p)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("watch", help="progressive render with live file updates")
+    _add_common(p)
+    p.add_argument("--interval", type=int, default=10)
+    p.set_defaults(fn=cmd_watch)
+
+    p = sub.add_parser("bench", help="run named benchmark configs")
+    p.add_argument("configs", nargs="*", default=None)
+    p.add_argument("--frames", type=int, default=30)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("inverse", help="inverse-rendering demo")
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.set_defaults(fn=cmd_inverse)
+
+    a = ap.parse_args(argv)
+    return a.fn(a)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

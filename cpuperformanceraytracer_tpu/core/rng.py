@@ -106,7 +106,9 @@ class WangRng(NamedTuple):
 # ----------------------------------------------------------------------------
 
 _ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
-_PARITY = _u32(0x1BD11BDA)
+# python-int constant (not a jnp scalar): Pallas kernels reject captured
+# concrete arrays, and int literals fold into the jaxpr
+_PARITY = 0x1BD11BDA
 
 
 def _rotl(x: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -121,19 +123,21 @@ def threefry2x32(key0, key1, ctr0, ctr1) -> Tuple[jnp.ndarray, jnp.ndarray]:
     without PRNGKey plumbing.
     """
     k0, k1 = _u32(key0), _u32(key1)
-    x0, x1 = _u32(ctr0), _u32(ctr1)
     k2 = k0 ^ k1 ^ _PARITY
     ks = (k0, k1, k2)
 
-    x0 = x0 + ks[0]
-    x1 = x1 + ks[1]
+    # ctr0/ctr1 may be python ints (counter epoch 0): keep them as int
+    # literals until they mix with a traced u32 so no concrete jnp scalar
+    # is ever captured inside a Pallas kernel
+    x0 = ctr0 + ks[0]
+    x1 = ctr1 + ks[1]
     for block in range(5):
         for r in _ROTATIONS[(block % 2) * 4 : (block % 2) * 4 + 4]:
             x0 = x0 + x1
             x1 = _rotl(x1, r)
             x1 = x0 ^ x1
         x0 = x0 + ks[(block + 1) % 3]
-        x1 = x1 + ks[(block + 2) % 3] + _u32(block + 1)
+        x1 = x1 + ks[(block + 2) % 3] + (block + 1)
     return x0, x1
 
 
@@ -164,5 +168,5 @@ class CounterRng(NamedTuple):
         return CounterRng(key0, key1, _u32(0))
 
     def next01(self) -> Tuple[jnp.ndarray, "CounterRng"]:
-        v = counter_rand01(self.key0, self.key1, self.ctr, _u32(0))
-        return v, CounterRng(self.key0, self.key1, self.ctr + _u32(1))
+        v = counter_rand01(self.key0, self.key1, self.ctr, 0)
+        return v, CounterRng(self.key0, self.key1, self.ctr + 1)

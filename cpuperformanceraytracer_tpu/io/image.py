@@ -22,6 +22,12 @@ def write_bmp(path: str, rgb: np.ndarray) -> None:
     to 4 bytes.
     """
     rgb = np.asarray(rgb, np.uint8)
+
+    from cpuperformanceraytracer_tpu.io.native import write_bmp_native
+
+    if write_bmp_native(path, rgb):
+        return
+
     h, w, _ = rgb.shape
     bgr = rgb[::-1, :, ::-1]  # bottom-up, BGR
     row_size = (w * 3 + 3) & ~3

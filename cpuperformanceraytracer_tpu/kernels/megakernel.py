@@ -134,8 +134,21 @@ class _CtrRng:
     def next01(self):
         from cpuperformanceraytracer_tpu.core.rng import counter_rand01
 
-        v = counter_rand01(self.key0, self.key1, self.ctr, jnp.uint32(0))
-        return v, _CtrRng(self.key0, self.key1, self.ctr + jnp.uint32(1))
+        v = counter_rand01(self.key0, self.key1, self.ctr, 0)
+        return v, _CtrRng(self.key0, self.key1, self.ctr + 1)
+
+
+def rng_flatten(rng):
+    """RNG object -> tuple of arrays (loop-carry friendly)."""
+    if isinstance(rng, _SmemRng):
+        return (rng.state,)
+    return (rng.key0, rng.key1, rng.ctr)
+
+
+def rng_unflatten(leaves):
+    if len(leaves) == 1:
+        return _SmemRng(leaves[0])
+    return _CtrRng(*leaves)
 
 
 def _scalar3(ref, row, col0) -> Vec3:
@@ -226,10 +239,11 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
                 fields[k] = jnp.where(sel, mat_ref[mi, k], fields[k])
         return fields
 
-    def sample_once(quad_ref, sph_ref, mat_ref, cam_ref, rng,
-                    frag_x, frag_y):
-        """One full camera sample: returns (ret, miss_state, rng)."""
-        # camera ray (mainImage analog)
+    def camera_ray_blk(cam_ref, rng, frag_x, frag_y):
+        """Primary ray for the block (mainImage analog): jitter draws +
+        NDC target + normalize. One call per frame in wang mode (the
+        reference draws jitter ONCE and shares the ray across the spp
+        loop, v4 :1109-1129); per sample in counter mode."""
         if cfg.jitter:
             jx, rng = rng.next01()
             jy, rng = rng.next01()
@@ -246,9 +260,11 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
             jnp.full((bh, bw), cam_ref[2]),
         )
         target = Vec3(u, v, jnp.full((bh, bw), cam_ref[4] * cam_ref[3]))
-        dir = _safe_normalize(target)
-        pos = cam_pos
+        return cam_pos, _safe_normalize(target), rng
 
+    def sample_once(quad_ref, sph_ref, mat_ref, cam_ref, rng, pos, dir):
+        """One path-trace sample from a prepared primary ray:
+        returns (ret, miss_state, rng)."""
         ret = Vec3(*(jnp.zeros((bh, bw)) for _ in range(3)))
         thr = Vec3(*(jnp.ones((bh, bw)) for _ in range(3)))
         alive = jnp.ones((bh, bw), jnp.bool_)
@@ -259,7 +275,10 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         miss_jr = jnp.zeros((bh, bw))
         miss_jc = jnp.zeros((bh, bw))
 
-        for _ in range(cfg.bounces + 1):
+        def bounce_body(state):
+            (ret, thr, pos, dir, alive, miss_dir, miss_thr, miss_jr,
+             miss_jc, missed, rng_state) = state
+            rng = rng_unflatten(rng_state)
             dist, normal, from_inside, mat_idx = trace(quad_ref, sph_ref,
                                                        pos, dir)
             if env_draws:
@@ -373,8 +392,36 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
             pos = _w3(update, new_pos, pos)
             dir = _w3(update, new_dir, dir)
             alive = update
+            return (ret, thr, pos, dir, alive, miss_dir, miss_thr,
+                    miss_jr, miss_jc, missed, rng_flatten(rng))
 
-        return (ret, (miss_dir, miss_thr, miss_jr, miss_jc, missed), rng)
+        state = (ret, thr, pos, dir, alive, miss_dir, miss_thr,
+                 miss_jr, miss_jc, missed, rng_flatten(rng))
+        n_segments = cfg.bounces + 1
+        # Block-level early exit (the TPU analog of the reference's
+        # all_set(shouldBreak) break, v4 :731): once every lane in the
+        # block is dead, skip the remaining bounces. Only legal when the
+        # skipped RNG draws can never be observed — per-sample streams
+        # (spp==1 or counter RNG); the sequential wang stream at spp>1
+        # must keep drawing.
+        if cfg.spp == 1 or cfg.rng != "wang":
+            def cond(c):
+                i, s = c
+                return (i < n_segments) & jnp.any(s[4])
+
+            def wbody(c):
+                i, s = c
+                return i + 1, bounce_body(s)
+
+            _, state = jax.lax.while_loop(cond, wbody, (0, state))
+        else:
+            for _ in range(n_segments):
+                state = bounce_body(state)
+
+        (ret, thr, pos, dir, alive, miss_dir, miss_thr, miss_jr,
+         miss_jc, missed, rng_state) = state
+        return (ret, (miss_dir, miss_thr, miss_jr, miss_jc, missed),
+                rng_unflatten(rng_state))
 
     def kernel(frame_ref, quad_ref, sph_ref, mat_ref, cam_ref,
                r_ref, g_ref, b_ref, md_x, md_y, md_z,
@@ -396,21 +443,26 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         acc = Vec3(*(jnp.zeros((bh, bw)) for _ in range(3)))
         miss_state = None
         if cfg.rng == "wang":
-            seed = (fx_u * jnp.uint32(1973) + fy_u * jnp.uint32(9277)
-                    + frame.astype(jnp.uint32) * jnp.uint32(26699)) | jnp.uint32(1)
+            # python-int literals (not jnp scalars): Pallas kernels may not
+            # capture traced constants
+            seed = (fx_u * 1973 + fy_u * 9277
+                    + frame.astype(jnp.uint32) * 26699) | 1
             rng = _SmemRng(seed)
+            # jitter/ray once per frame, shared by the spp loop (v4 :1109)
+            pos, dir, rng = camera_ray_blk(cam_ref, rng, frag_x, frag_y)
             for _ in range(cfg.spp):
                 ret, miss_state, rng = sample_once(
-                    quad_ref, sph_ref, mat_ref, cam_ref, rng, frag_x, frag_y)
+                    quad_ref, sph_ref, mat_ref, cam_ref, rng, pos, dir)
                 acc = acc + ret * (1.0 / cfg.spp)
         else:
             for s in range(cfg.spp):
-                key0 = fx_u * jnp.uint32(1973) + fy_u * jnp.uint32(9277)
-                key1 = (frame.astype(jnp.uint32) * jnp.uint32(26699)
-                        + jnp.uint32(s) * jnp.uint32(40503) + jnp.uint32(1))
+                key0 = fx_u * 1973 + fy_u * 9277
+                key1 = (frame.astype(jnp.uint32) * 26699
+                        + ((s * 40503 + 1) & 0xFFFFFFFF))
                 rng = _CtrRng(key0, key1, jnp.zeros((bh, bw), jnp.uint32))
+                pos, dir, rng = camera_ray_blk(cam_ref, rng, frag_x, frag_y)
                 ret, miss_state, rng = sample_once(
-                    quad_ref, sph_ref, mat_ref, cam_ref, rng, frag_x, frag_y)
+                    quad_ref, sph_ref, mat_ref, cam_ref, rng, pos, dir)
                 acc = acc + ret * (1.0 / cfg.spp)
 
         miss_dir, miss_thr, miss_jr, miss_jc, missed = miss_state
@@ -428,6 +480,14 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         missed_ref[:] = jnp.where(missed, 1.0, 0.0)
 
     return kernel
+
+
+def _use_interpret() -> bool:
+    """Interpret-mode fallback on CPU: lets the whole Pallas path run (and
+    be tested for parity) without TPU hardware."""
+    import jax
+
+    return jax.default_backend() == "cpu"
 
 
 def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
@@ -484,6 +544,7 @@ def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
         ],
         out_specs=[blk] * 12,
         out_shape=[plane] * 12,
+        interpret=_use_interpret(),
     )(
         jnp.asarray(frame, jnp.int32).reshape(1),
         quad_tbl, sph_tbl, mat_tbl, cam_tbl,

@@ -41,11 +41,14 @@ def postprocess_pallas(accum: Vec3, exposure: float = 1.0,
     blk = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                        memory_space=pltpu.VMEM)
     plane = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    import jax as _jax
+
     r, g, b = pl.pallas_call(
         kernel,
         grid=(h // bh, w // bw),
         in_specs=[blk] * 3,
         out_specs=[blk] * 3,
         out_shape=[plane] * 3,
+        interpret=_jax.default_backend() == "cpu",
     )(accum.x, accum.y, accum.z)
     return Vec3(r, g, b)

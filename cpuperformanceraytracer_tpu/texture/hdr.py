@@ -70,6 +70,12 @@ def read_hdr(path: str, flip_vertical: bool = True) -> np.ndarray:
     stbi_set_flip_vertically_on_load(true) (asset_loading.cpp:12): row 0
     of the returned array is the BOTTOM scanline of the file.
     """
+    from cpuperformanceraytracer_tpu.io.native import read_hdr_native
+
+    native = read_hdr_native(path, flip_vertical)
+    if native is not None:
+        return native
+
     with open(path, "rb") as f:
         raw = f.read()
 
