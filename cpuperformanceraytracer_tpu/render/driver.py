@@ -72,7 +72,9 @@ class OfflineRenderer:
             checkpoint_every: int = 0) -> FrameTimer:
         """Warmup + timed loop (the offline benchmark protocol)."""
         cfg = self.cfg
-        timer = FrameTimer(warmup_frames=cfg.warmup_frames)
+        # warmup happens out-of-band below (scratch buffers), so the timer
+        # itself skips nothing: every accumulated frame is timed
+        timer = FrameTimer(warmup_frames=0)
 
         for w in range(cfg.warmup_frames):
             # warmup compiles + warms caches but must not pollute the

@@ -1,0 +1,83 @@
+"""Driver + CLI tests: offline protocol, watch mode, checkpointing,
+pallas backend selection."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from cpuperformanceraytracer_tpu.config import RenderConfig
+from cpuperformanceraytracer_tpu.render.driver import OfflineRenderer
+
+
+def _cfg(**kw):
+    base = dict(width=32, height=24, spp=1, bounces=2, scene="cornell_box",
+                env_mode="none", ambient=(0.1, 0.1, 0.1), env_flip_xz=False,
+                jitter=True, roulette="off", num_frames=4, warmup_frames=1)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_offline_run_and_image(tmp_path):
+    r = OfflineRenderer(_cfg(), silent=True)
+    t = r.run()
+    assert t.timed_frames == 4
+    assert t.mean_ms > 0
+    img = r.image_u8()
+    assert img.shape == (24, 32, 3) and img.dtype == np.uint8
+    p = str(tmp_path / "out.bmp")
+    r.write_image(p)
+    assert os.path.getsize(p) > 100
+
+
+def test_warmup_does_not_pollute_accum():
+    a = OfflineRenderer(_cfg(warmup_frames=0), silent=True)
+    b = OfflineRenderer(_cfg(warmup_frames=2), silent=True)
+    a.run()
+    b.run()
+    np.testing.assert_array_equal(np.asarray(a.state.accum.x),
+                                  np.asarray(b.state.accum.x))
+
+
+def test_checkpoint_resume_identical(tmp_path):
+    ck = str(tmp_path / "ck.npz")
+    # straight run of 4 frames
+    a = OfflineRenderer(_cfg(num_frames=4), silent=True)
+    a.run()
+    # run 2, checkpoint, resume, run 2 more
+    b = OfflineRenderer(_cfg(num_frames=2), silent=True)
+    b.run(checkpoint_path=ck, checkpoint_every=2)
+    c = OfflineRenderer(_cfg(num_frames=2), silent=True)
+    c.resume(ck)
+    assert c.state.frame == 2
+    for _ in range(2):
+        c.step()
+    np.testing.assert_allclose(np.asarray(a.state.accum.x),
+                               np.asarray(c.state.accum.x), atol=1e-6)
+
+
+def test_pallas_backend_driver():
+    cfg = _cfg(backend="pallas", width=128, height=16,
+               tile_height=8, tile_width=128)
+    r = OfflineRenderer(cfg, silent=True)
+    r.run()
+    assert np.isfinite(np.asarray(r.state.accum.x)).all()
+
+
+def test_cli_render(tmp_path):
+    out = str(tmp_path / "cli.png")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = ""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from cpuperformanceraytracer_tpu.app.cli import main;"
+        f"main(['render','--scene','cornell_box','--width','32','--height','24',"
+        f"'--bounces','2','--frames','2','--warmup','0','--roulette','off',"
+        f"'-o','{out}','--silent'])"
+    )
+    res = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert os.path.exists(out)
