@@ -45,7 +45,10 @@ class OfflineRenderer:
     """
 
     def __init__(self, cfg: RenderConfig, texture=None, scene=None, camera=None,
-                 silent: bool = False):
+                 silent: bool = False, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — frames then render via
+        shard_map over (px rows, spp samples), the multi-chip path for the
+        4K/1024spp offline config (BASELINE.json config 5)."""
         self.cfg = cfg.validate()
         if scene is None or camera is None:
             scene, camera = scene_by_name(cfg.scene)
@@ -53,7 +56,14 @@ class OfflineRenderer:
         self.camera = camera
         self.texture = texture
         self.log = get_logger(silent=silent)
-        self.frame_fn = make_frame_fn(self.cfg)
+        if mesh is not None:
+            from cpuperformanceraytracer_tpu.parallel.shard import (
+                make_sharded_frame_fn,
+            )
+
+            self.frame_fn = make_sharded_frame_fn(self.cfg, mesh)
+        else:
+            self.frame_fn = make_frame_fn(self.cfg)
         self.state = RenderState(accum=zero_accum(self.cfg), frame=0)
 
     def resume(self, checkpoint_path: Optional[str]) -> None:

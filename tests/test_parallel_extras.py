@@ -1,0 +1,63 @@
+"""Scaling harness, sharded driver, debug visualization, profiling report."""
+
+import numpy as np
+
+from cpuperformanceraytracer_tpu.config import RenderConfig
+from cpuperformanceraytracer_tpu.parallel.mesh import default_mesh
+from cpuperformanceraytracer_tpu.parallel.scaling import measure_scaling
+from cpuperformanceraytracer_tpu.render.driver import OfflineRenderer
+from cpuperformanceraytracer_tpu.scene.presets import cornell_box_scene
+from cpuperformanceraytracer_tpu.utils.debug_vis import (
+    block_ownership_image,
+    overlay,
+    shard_ownership_image,
+)
+from cpuperformanceraytracer_tpu.utils.profiling import throughput_report
+
+
+def _cfg(**kw):
+    base = dict(width=32, height=24, spp=2, bounces=2, scene="cornell_box",
+                env_mode="none", ambient=(0.1, 0.1, 0.1), env_flip_xz=False,
+                jitter=True, roulette="off", rng="counter",
+                num_frames=3, warmup_frames=0)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_scaling_harness_runs(devices8):
+    scene, cam = cornell_box_scene()
+    pts = measure_scaling(scene, cam, None, _cfg(), device_counts=[1, 4],
+                          frames=2)
+    assert [p.devices for p in pts] == [1, 4]
+    assert all(p.ms_per_frame > 0 and np.isfinite(p.mrays_per_s) for p in pts)
+    assert pts[0].efficiency == 1.0
+
+
+def test_sharded_driver_matches_unsharded(devices8):
+    cfg = _cfg(num_frames=2)
+    scene, cam = cornell_box_scene()
+    a = OfflineRenderer(cfg, scene=scene, camera=cam, silent=True)
+    b = OfflineRenderer(cfg, scene=scene, camera=cam, silent=True,
+                        mesh=default_mesh(spp_shards=2))
+    a.run()
+    b.run()
+    np.testing.assert_allclose(np.asarray(a.state.accum.x),
+                               np.asarray(b.state.accum.x), atol=1e-5)
+
+
+def test_debug_vis_shapes():
+    cfg = _cfg(width=64, height=48, tile_height=8, tile_width=64)
+    s = shard_ownership_image(cfg, 4)
+    assert s.shape == (48, 64, 3)
+    assert len(np.unique(s.reshape(-1, 3), axis=0)) == 4
+    b = block_ownership_image(cfg)
+    assert b.shape == (48, 64, 3)
+    o = overlay(np.zeros((48, 64, 3), np.uint8), s)
+    assert o.shape == (48, 64, 3) and o.max() > 0
+
+
+def test_throughput_report():
+    r = throughput_report(_cfg(width=1280, height=720, spp=1, bounces=8), 100.0)
+    assert abs(r.primary_mrays_per_s - 9.216) < 0.01
+    assert abs(r.max_segment_mrays_per_s - 9.216 * 9) < 0.1
+    assert "ms/frame" in str(r)
