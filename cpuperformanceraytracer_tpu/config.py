@@ -68,6 +68,10 @@ class RenderConfig:
     # unroll the bounce loop in the traced graph (larger compile, lets
     # XLA specialize per bounce); default rolled via lax.fori_loop
     unroll_bounces: bool = False
+    # rematerialize each bounce in reverse-mode AD (path-replay backward:
+    # O(1) stored state per segment, segments recomputed during the
+    # backward sweep; pair with rng="counter" for guaranteed replay)
+    remat_bounces: bool = False
     # Pallas pixel-block shape; last dim should be a multiple of 128
     tile_height: int = 8
     tile_width: int = 256

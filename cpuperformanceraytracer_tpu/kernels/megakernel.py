@@ -398,25 +398,14 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         state = (ret, thr, pos, dir, alive, miss_dir, miss_thr,
                  miss_jr, miss_jc, missed, rng_flatten(rng))
         n_segments = cfg.bounces + 1
-        # Block-level early exit (the TPU analog of the reference's
-        # all_set(shouldBreak) break, v4 :731): once every lane in the
-        # block is dead, skip the remaining bounces. Only legal when the
-        # skipped RNG draws can never be observed — per-sample streams
-        # (spp==1 or counter RNG); the sequential wang stream at spp>1
-        # must keep drawing.
-        if cfg.spp == 1 or cfg.rng != "wang":
-            def cond(c):
-                i, s = c
-                return (i < n_segments) & jnp.any(s[4])
-
-            def wbody(c):
-                i, s = c
-                return i + 1, bounce_body(s)
-
-            _, state = jax.lax.while_loop(cond, wbody, (0, state))
-        else:
-            for _ in range(n_segments):
-                state = bounce_body(state)
+        # NOTE on early exit: the TPU analog of the reference's
+        # all_set(shouldBreak) break (v4 :731) would be a
+        # lax.while_loop/lax.cond skipping bounces once every lane in the
+        # block is dead — but this toolchain's Mosaic crashes on
+        # while_loop/cond with vector carries, so the loop is unrolled
+        # unconditionally (dead lanes are fully masked, just not free).
+        for _ in range(n_segments):
+            state = bounce_body(state)
 
         (ret, thr, pos, dir, alive, miss_dir, miss_thr, miss_jr,
          miss_jc, missed, rng_state) = state

@@ -384,13 +384,21 @@ def color_for_ray(scene: Scene, derived, texture, cfg, start_pos: Vec3,
     carry = (vec3(0.0), vec3(1.0), start_pos, start_dir, jnp.bool_(True),
              miss_state0, rng)
     n_segments = cfg.bounces + 1
+    body = bounce_body
+    if getattr(cfg, "remat_bounces", False):
+        # path-replay backward: store only each segment's input carry and
+        # replay the segment during the backward sweep (SURVEY.md 7.7) —
+        # rematerialization of the bounce body is exactly that strategy
+        import jax as _jax
+
+        body = _jax.checkpoint(bounce_body, static_argnums=())
     if getattr(cfg, "unroll_bounces", False):
         for i in range(n_segments):
-            carry = bounce_body(i, carry)
+            carry = body(i, carry)
     else:
         # rolled loop: keeps the traced graph one-bounce-sized, which is
         # what keeps XLA compile time sane at 8 bounces x high spp
-        carry = lax.fori_loop(0, n_segments, bounce_body, carry)
+        carry = lax.fori_loop(0, n_segments, body, carry)
     ret, _, _, _, _, miss_state, rng = carry
 
     # deferred env lookup: ONE texel gather per path (vs one per bounce) —

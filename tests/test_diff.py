@@ -193,3 +193,32 @@ class TestInverse:
         err0 = 0.5
         err = float(jnp.abs(params["sphere_centers"] - true_c).max())
         assert err < err0 * 0.5, (err0, err, losses[-1])
+
+
+class TestPathReplay:
+    def test_replay_grads_match_plain(self):
+        """Rematerialized (path-replay) backward must produce the SAME
+        gradients as the stored-residual backward — replay determinism."""
+        import jax
+        from cpuperformanceraytracer_tpu.diff.path_replay import (
+            render_for_params_replay,
+        )
+
+        scene, cam = cornell_box_scene()
+        cfg = _cfg()
+        target = render_for_params({}, scene, cam, None, cfg, 0)
+        albedo = _stack3(scene.materials.albedo) + 0.1
+        params = {"albedo": albedo}
+
+        def loss_plain(p):
+            img = render_for_params(p, scene, cam, None, cfg, 0)
+            return image_loss(img, target)
+
+        def loss_replay(p):
+            img = render_for_params_replay(p, scene, cam, None, cfg, 0)
+            return image_loss(img, target)
+
+        g1 = jax.grad(loss_plain)(params)["albedo"]
+        g2 = jax.grad(loss_replay)(params)["albedo"]
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=1e-4, atol=1e-7)
