@@ -169,8 +169,12 @@ def refract(v: Vec3, n: Vec3, eta: Scalar) -> Vec3:
     """
     vdotn = dot3(v, n)
     k = 1.0 - eta * eta * (1.0 - vdotn * vdotn)
-    k_safe = jnp.maximum(k, 0.0)
-    out = v * eta - n * (eta * vdotn + jnp.sqrt(k_safe))
+    # double-where sqrt guard: sqrt'(0) = inf would turn the TIR branch's
+    # zero cotangent into 0 * inf = NaN in reverse mode, so the inactive
+    # branch gets a safe operand (1.0), not just a clamped one
+    k_safe = jnp.where(k > 0.0, k, 1.0)
+    sqrt_k = jnp.where(k > 0.0, jnp.sqrt(k_safe), 0.0)
+    out = v * eta - n * (eta * vdotn + sqrt_k)
     zero = jnp.zeros_like(k)
     return Vec3(
         jnp.where(k < 0.0, zero, out.x),
@@ -199,7 +203,10 @@ def fresnel_reflect_amount(
     n = n1 / n2
     sin_t2_compl = 1.0 - (n * n) * (1.0 - cos_x * cos_x)
     tir = sin_t2_compl < 0.0
-    new_cos_x = jnp.sqrt(jnp.maximum(sin_t2_compl, 0.0))
+    # double-where sqrt guard (see refract): keep the TIR branch's
+    # gradient path exactly zero instead of 0 * inf = NaN
+    sin_safe = jnp.where(tir, 1.0, sin_t2_compl)
+    new_cos_x = jnp.where(tir, 0.0, jnp.sqrt(sin_safe))
     cos_x = jnp.where(n1_gt_n2 & ~tir, new_cos_x, cos_x)
 
     x = 1.0 - cos_x

