@@ -20,7 +20,7 @@ import sys
 def main() -> None:
     import jax
 
-    frames = int(os.environ.get("BENCH_FRAMES", "30"))
+    frames = int(os.environ.get("BENCH_FRAMES", "128"))
     backend = os.environ.get("BENCH_BACKEND", "")
 
     from cpuperformanceraytracer_tpu.config import RenderConfig
@@ -42,6 +42,7 @@ def main() -> None:
         scene="glass_spheres", env_mode="equirect",
         env_sampling="stochastic", rng="wang",
         num_frames=frames, warmup_frames=2,
+        backend="pallas",  # the TPU megakernel path (parity-tested vs xla)
     )
     if backend:
         cfg = cfg.replace(backend=backend)

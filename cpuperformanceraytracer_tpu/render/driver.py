@@ -11,6 +11,7 @@ checkpointing and resumable accumulation state.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Optional
 
 import jax
@@ -80,11 +81,22 @@ class OfflineRenderer:
 
     def run(self, checkpoint_path: Optional[str] = None,
             checkpoint_every: int = 0) -> FrameTimer:
-        """Warmup + timed loop (the offline benchmark protocol)."""
+        """Warmup + timed loop (the offline benchmark protocol).
+
+        Frames are enqueued back-to-back — each depends on the previous
+        accumulation buffer, so ONE data fetch at the end is a join
+        barrier for the whole chain (the reference also times the whole
+        600-frame loop, not individual frames: Application.cpp:423-452).
+        Per-frame syncs would serialize host dispatch with device compute
+        and add ~30 ms/frame of pure overhead on the tunneled backend.
+        A sync (+ optional checkpoint/progress) still happens every
+        ``sync_every`` frames so the dispatch queue stays bounded.
+        """
         cfg = self.cfg
         # warmup happens out-of-band below (scratch buffers), so the timer
         # itself skips nothing: every accumulated frame is timed
         timer = FrameTimer(warmup_frames=0)
+        sync_every = max(checkpoint_every, 16) if checkpoint_every else 64
 
         for w in range(cfg.warmup_frames):
             # warmup compiles + warms caches but must not pollute the
@@ -96,17 +108,21 @@ class OfflineRenderer:
             )
             device_sync(scratch)
 
+        t0 = time.perf_counter()
+        done = 0
         for i in range(cfg.num_frames):
-            timer.frame_start()
             self.step()
-            device_sync(self.state.accum)  # real join barrier (see timing.py)
-            timer.frame_end()
-            progress(self.log, i, cfg.num_frames)
-            if checkpoint_path and checkpoint_every and (
-                (i + 1) % checkpoint_every == 0
-            ):
-                save_checkpoint(checkpoint_path, self.state.accum,
-                                self.state.frame, cfg)
+            if (i + 1) % sync_every == 0 or i == cfg.num_frames - 1:
+                device_sync(self.state.accum)  # true barrier (see timing.py)
+                now = time.perf_counter()
+                timer.add_span(now - t0, (i + 1) - done)
+                t0, done = now, i + 1
+                progress(self.log, i, cfg.num_frames)
+                if checkpoint_path and checkpoint_every and (
+                    (i + 1) % checkpoint_every == 0
+                ):
+                    save_checkpoint(checkpoint_path, self.state.accum,
+                                    self.state.frame, cfg)
 
         rays = cfg.width * cfg.height * cfg.spp
         self.log.info(

@@ -64,6 +64,14 @@ class FrameTimer:
         if self._seen > self.warmup_frames:
             self._times.append(dt)
 
+    def add_span(self, seconds: float, frames: int):
+        """Record a timed span covering ``frames`` frames (chained-dispatch
+        protocol: frames enqueued back-to-back, one join per span)."""
+        for _ in range(frames):
+            self._seen += 1
+            if self._seen > self.warmup_frames:
+                self._times.append(seconds / frames)
+
     @property
     def timed_frames(self) -> int:
         return len(self._times)
