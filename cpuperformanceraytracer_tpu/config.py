@@ -75,6 +75,10 @@ class RenderConfig:
     # Pallas pixel-block shape; last dim should be a multiple of 128
     tile_height: int = 8
     tile_width: int = 256
+    # skip remaining bounce segments once every lane in a Pallas block is
+    # dead — the block-level analog of the reference's all_set(shouldBreak)
+    # early-out (v4 :731,781). Identical output; False only for A/B timing.
+    early_exit: bool = True
 
     def validate(self) -> "RenderConfig":
         """Raise ValueError on invalid combinations (CheckValidSettings

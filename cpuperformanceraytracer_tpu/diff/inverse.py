@@ -66,9 +66,22 @@ def adam_inverse_render(
     resample_frames: bool = False,
     log_every: int = 0,
     logger=None,
+    eps: float = 1e-8,
 ) -> tuple:
-    """Run Adam; returns (final_params, losses)."""
-    optimizer = optax.adam(learning_rate)
+    """Run Adam; returns (final_params, losses).
+
+    ``eps`` is Adam's denominator epsilon, usable as a GRADIENT NOISE
+    FLOOR: at the default 1e-8, Adam normalizes the ~1e-4 cross-talk
+    gradients of barely-observed parameters (a sphere seen only through a
+    neighbor's refraction) up to full-size steps, and those coordinates
+    random-walk away from the truth. For geometry recovery pass ~1e-2: it
+    leaves well-observed gradients (~0.1+) untouched and damps the noise
+    walkers ~100x — measured to be the difference between divergence and
+    clean recovery on the glass-spheres position problem. Smooth,
+    well-observed parameters (albedo/emissive) converge fastest with the
+    standard 1e-8.
+    """
+    optimizer = optax.adam(learning_rate, eps=eps)
     opt_state = optimizer.init(init_params)
     train_step = make_train_step(problem, optimizer, resample_frames)
 

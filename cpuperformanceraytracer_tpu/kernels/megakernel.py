@@ -155,6 +155,32 @@ def _scalar3(ref, row, col0) -> Vec3:
     return Vec3(ref[row, col0], ref[row, col0 + 1], ref[row, col0 + 2])
 
 
+# Scratch layout for the early-exit bounce loop: 22 f32 planes of carried
+# state (masks stored as 0/1 f32 — VMEM scratch is typed) + the RNG's u32
+# planes (1 for wang, 3 for counter).
+_ALIVE_SLOT = 12
+_N_F32_SLOTS = 22
+
+
+def _flatten_state(s):
+    (ret, thr, pos, dir, alive, miss_dir, miss_thr, miss_jr, miss_jc,
+     missed, rng_state) = s
+    f = [ret.x, ret.y, ret.z, thr.x, thr.y, thr.z, pos.x, pos.y, pos.z,
+         dir.x, dir.y, dir.z, alive.astype(jnp.float32),
+         miss_dir.x, miss_dir.y, miss_dir.z,
+         miss_thr.x, miss_thr.y, miss_thr.z, miss_jr, miss_jc,
+         missed.astype(jnp.float32)]
+    return f + list(rng_state)
+
+
+def _unflatten_state(flat):
+    (rx, ry, rz, tx, ty, tz, px, py, pz, dx, dy, dz, alive,
+     mdx, mdy, mdz, mtx, mty, mtz, mjr, mjc, missed, *rng) = flat
+    return (Vec3(rx, ry, rz), Vec3(tx, ty, tz), Vec3(px, py, pz),
+            Vec3(dx, dy, dz), alive > 0.5, Vec3(mdx, mdy, mdz),
+            Vec3(mtx, mty, mtz), mjr, mjc, missed > 0.5, tuple(rng))
+
+
 def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
                  bh: int, bw: int):
     """Build the kernel body for static (cfg, scene sizes, block shape)."""
@@ -164,7 +190,30 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
                 if cfg.unit_vector_sampler == "zangle"
                 else random_unit_vector_normalized3)
 
-    def trace(quad_ref, sph_ref, pos: Vec3, dir: Vec3):
+    def load_quads(quad_ref):
+        """Hoist every per-quad SMEM scalar out of the bounce loop: one
+        read each per kernel invocation instead of one per bounce."""
+        out = []
+        for qi in range(nq):
+            out.append((
+                _scalar3(quad_ref, qi, 0),    # v0
+                _scalar3(quad_ref, qi, 3),    # n
+                _scalar3(quad_ref, qi, 6),    # nxv01
+                _scalar3(quad_ref, qi, 12),   # nxv20
+                _scalar3(quad_ref, qi, 15),   # nxv02
+                _scalar3(quad_ref, qi, 21),   # nxv30
+                quad_ref[qi, 24],             # material index (f32)
+            ))
+        return out
+
+    def load_spheres(sph_ref):
+        return [( _scalar3(sph_ref, si, 0), sph_ref[si, 3], sph_ref[si, 4])
+                for si in range(ns)]
+
+    def load_materials(mat_ref):
+        return [[mat_ref[mi, k] for k in range(MAT_COLS)] for mi in range(nm)]
+
+    def trace(quads, spheres, pos: Vec3, dir: Vec3):
         """Blend-chain nearest hit over all objects (TestSceneTrace
         analog): returns (dist, normal, from_inside, mat_idx_f32)."""
         best = jnp.full((bh, bw), SUPER_FAR, jnp.float32)
@@ -173,17 +222,7 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         inside = jnp.zeros((bh, bw), jnp.bool_)
         mat = jnp.zeros((bh, bw), jnp.float32)
 
-        for qi in range(nq):
-            v0 = _scalar3(quad_ref, qi, 0)
-            n = _scalar3(quad_ref, qi, 3)
-            nxv01 = _scalar3(quad_ref, qi, 6)
-            nxv12 = _scalar3(quad_ref, qi, 9)  # noqa: F841 (kept for clarity)
-            nxv20 = _scalar3(quad_ref, qi, 12)
-            nxv02 = _scalar3(quad_ref, qi, 15)
-            nxv23 = _scalar3(quad_ref, qi, 18)  # noqa: F841
-            nxv30 = _scalar3(quad_ref, qi, 21)
-            mq = quad_ref[qi, 24]
-
+        for v0, n, nxv01, nxv20, nxv02, nxv30, mq in quads:
             ray_off = Vec3(v0.x - pos.x, v0.y - pos.y, v0.z - pos.z)
             denom = dot3(dir, n)
             denom = jnp.where(jnp.abs(denom) < 1e-12,
@@ -206,10 +245,7 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
             inside = inside & ~valid  # quads never report from-inside
             mat = jnp.where(valid, mq, mat)
 
-        for si in range(ns):
-            c = _scalar3(sph_ref, si, 0)
-            r = sph_ref[si, 3]
-            ms = sph_ref[si, 4]
+        for c, r, ms in spheres:
             m_ = Vec3(pos.x - c.x, pos.y - c.y, pos.z - c.z)
             b = dot3(m_, dir)
             cc = dot3(m_, m_) - r * r
@@ -229,14 +265,14 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
 
         return best, normal, inside, mat
 
-    def fetch_material(mat_ref, idx):
+    def fetch_material(materials, idx):
         """17-field select chain over NM materials (GatherMaterials
         analog via broadcast-compare-select)."""
         fields = [jnp.zeros((bh, bw), jnp.float32) for _ in range(MAT_COLS)]
-        for mi in range(nm):
+        for mi, mat_row in enumerate(materials):
             sel = idx == float(mi)
             for k in range(MAT_COLS):
-                fields[k] = jnp.where(sel, mat_ref[mi, k], fields[k])
+                fields[k] = jnp.where(sel, mat_row[k], fields[k])
         return fields
 
     def camera_ray_blk(cam_ref, rng, frag_x, frag_y):
@@ -262,9 +298,19 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         target = Vec3(u, v, jnp.full((bh, bw), cam_ref[4] * cam_ref[3]))
         return cam_pos, _safe_normalize(target), rng
 
-    def sample_once(quad_ref, sph_ref, mat_ref, cam_ref, rng, pos, dir):
+    def sample_once(quads, spheres, materials, cam_ref, scratch, rng, pos,
+                    dir, allow_exit):
         """One path-trace sample from a prepared primary ray:
-        returns (ret, miss_state, rng)."""
+        returns (ret, miss_state, rng).
+
+        ``allow_exit``: skip remaining bounce segments once every lane in
+        the block is dead — the TPU analog of the reference's
+        all_set(shouldBreak) early-out (v4 :731,781), at block instead of
+        8-lane granularity. Skipping also skips that segment's RNG draws,
+        so it is only legal when no later sample continues the same
+        sequential stream (counter RNG always; wang RNG's last sample).
+        Carried state lives in VMEM ``scratch`` refs so the skip is a real
+        branch (pl.when) rather than a mask."""
         ret = Vec3(*(jnp.zeros((bh, bw)) for _ in range(3)))
         thr = Vec3(*(jnp.ones((bh, bw)) for _ in range(3)))
         alive = jnp.ones((bh, bw), jnp.bool_)
@@ -279,7 +325,7 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
             (ret, thr, pos, dir, alive, miss_dir, miss_thr, miss_jr,
              miss_jc, missed, rng_state) = state
             rng = rng_unflatten(rng_state)
-            dist, normal, from_inside, mat_idx = trace(quad_ref, sph_ref,
+            dist, normal, from_inside, mat_idx = trace(quads, spheres,
                                                        pos, dir)
             if env_draws:
                 jr, rng = rng.next01()
@@ -305,7 +351,7 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
             miss_jc = jnp.where(first_miss, jc, miss_jc)
             missed = missed | first_miss
 
-            f = fetch_material(mat_ref, mat_idx)
+            f = fetch_material(materials, mat_idx)
             (al_r, al_g, al_b, em_r, em_g, em_b, spec_ch, spec_rough,
              sc_r, sc_g, sc_b, ior, refr_ch, refr_rough,
              rc_r, rc_g, rc_b) = f
@@ -398,14 +444,34 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         state = (ret, thr, pos, dir, alive, miss_dir, miss_thr,
                  miss_jr, miss_jc, missed, rng_flatten(rng))
         n_segments = cfg.bounces + 1
-        # NOTE on early exit: the TPU analog of the reference's
-        # all_set(shouldBreak) break (v4 :731) would be a
-        # lax.while_loop/lax.cond skipping bounces once every lane in the
-        # block is dead — but this toolchain's Mosaic crashes on
-        # while_loop/cond with vector carries, so the loop is unrolled
-        # unconditionally (dead lanes are fully masked, just not free).
-        for _ in range(n_segments):
-            state = bounce_body(state)
+
+        if not allow_exit or n_segments <= 1:
+            # unconditional unroll (dead lanes fully masked, not free)
+            for _ in range(n_segments):
+                state = bounce_body(state)
+        else:
+            # Mosaic crashes on while_loop/cond with big vector CARRIES,
+            # but conditional SIDE EFFECTS on VMEM refs (pl.when) work:
+            # park the carried state in scratch refs, run each remaining
+            # segment only while any lane is still alive.
+            def write_state(s):
+                flat = _flatten_state(s)
+                for r, v in zip(scratch, flat):
+                    r[:] = v
+
+            def read_state():
+                return _unflatten_state([r[:] for r in scratch])
+
+            state = bounce_body(state)  # segment 0 always runs
+            write_state(state)
+            for _ in range(n_segments - 1):
+                any_alive = jnp.max(scratch[_ALIVE_SLOT][:]) > 0.0
+
+                @pl.when(any_alive)
+                def _():
+                    write_state(bounce_body(read_state()))
+
+            state = read_state()
 
         (ret, thr, pos, dir, alive, miss_dir, miss_thr, miss_jr,
          miss_jc, missed, rng_state) = state
@@ -414,7 +480,7 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
 
     def kernel(frame_ref, quad_ref, sph_ref, mat_ref, cam_ref,
                r_ref, g_ref, b_ref, md_x, md_y, md_z,
-               mt_x, mt_y, mt_z, jr_ref, jc_ref, missed_ref):
+               mt_x, mt_y, mt_z, jr_ref, jc_ref, missed_ref, *scratch):
         bi = pl.program_id(0)
         bj = pl.program_id(1)
         row = bi * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
@@ -431,6 +497,11 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
 
         acc = Vec3(*(jnp.zeros((bh, bw)) for _ in range(3)))
         miss_state = None
+        quads = load_quads(quad_ref)
+        spheres = load_spheres(sph_ref)
+        materials = load_materials(mat_ref)
+        early = getattr(cfg, "early_exit", True)
+
         if cfg.rng == "wang":
             # python-int literals (not jnp scalars): Pallas kernels may not
             # capture traced constants
@@ -439,19 +510,27 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
             rng = _SmemRng(seed)
             # jitter/ray once per frame, shared by the spp loop (v4 :1109)
             pos, dir, rng = camera_ray_blk(cam_ref, rng, frag_x, frag_y)
-            for _ in range(cfg.spp):
+            for s in range(cfg.spp):
+                # skipping segments skips their draws, so only the LAST
+                # sample of the sequential wang stream may exit early
                 ret, miss_state, rng = sample_once(
-                    quad_ref, sph_ref, mat_ref, cam_ref, rng, pos, dir)
+                    quads, spheres, materials, cam_ref, scratch, rng, pos,
+                    dir, allow_exit=early and s == cfg.spp - 1)
                 acc = acc + ret * (1.0 / cfg.spp)
         else:
             for s in range(cfg.spp):
                 key0 = fx_u * 1973 + fy_u * 9277
-                key1 = (frame.astype(jnp.uint32) * 26699
-                        + ((s * 40503 + 1) & 0xFFFFFFFF))
+                # broadcast: key1 is built from the (scalar) frame index but
+                # rides in a (bh, bw) scratch ref across bounce segments
+                key1 = jnp.broadcast_to(
+                    frame.astype(jnp.uint32) * 26699
+                    + ((s * 40503 + 1) & 0xFFFFFFFF), (bh, bw))
                 rng = _CtrRng(key0, key1, jnp.zeros((bh, bw), jnp.uint32))
                 pos, dir, rng = camera_ray_blk(cam_ref, rng, frag_x, frag_y)
+                # counter streams are per-sample: always safe to exit
                 ret, miss_state, rng = sample_once(
-                    quad_ref, sph_ref, mat_ref, cam_ref, rng, pos, dir)
+                    quads, spheres, materials, cam_ref, scratch, rng, pos,
+                    dir, allow_exit=early)
                 acc = acc + ret * (1.0 / cfg.spp)
 
         miss_dir, miss_thr, miss_jr, miss_jc, missed = miss_state
@@ -521,6 +600,12 @@ def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
                        memory_space=pltpu.VMEM)
     plane = jax.ShapeDtypeStruct((cfg.height, cfg.width), jnp.float32)
 
+    n_rng = 1 if cfg.rng == "wang" else 3
+    scratch_shapes = (
+        [pltpu.VMEM((bh, bw), jnp.float32)] * _N_F32_SLOTS
+        + [pltpu.VMEM((bh, bw), jnp.uint32)] * n_rng
+    )
+
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -533,6 +618,7 @@ def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
         ],
         out_specs=[blk] * 12,
         out_shape=[plane] * 12,
+        scratch_shapes=scratch_shapes,
         interpret=_use_interpret(),
     )(
         jnp.asarray(frame, jnp.int32).reshape(1),

@@ -145,11 +145,18 @@ class TestGradients:
             assert np.isfinite(np.asarray(v)).all(), k
 
     def test_quad_vertex_grads_flow(self):
+        """Quad-vertex grads need a SMOOTH light source to be nonzero: in
+        a pure diffuse+emissive scene radiance is piecewise constant in
+        geometry (same argument as the sphere-center test above), so the
+        scene gets a bilinear env map — vertex moves change normals,
+        normals change bounce directions, directions change env radiance
+        smoothly."""
         scene, cam = cornell_box_scene()
-        cfg = _cfg()
-        target = render_for_params({}, scene, cam, None, cfg, 0)
+        tex = texture_from_array(gradient_sky(16, 8))
+        cfg = _cfg(env_mode="equirect", env_sampling="bilinear")
+        target = render_for_params({}, scene, cam, tex, cfg, 0)
         v0 = _stack3(scene.quads.v0) + 0.05
-        _, g = loss_and_grad({"quad_v0": v0}, target, scene, cam, None, cfg, 0)
+        _, g = loss_and_grad({"quad_v0": v0}, target, scene, cam, tex, cfg, 0)
         gv = np.asarray(g["quad_v0"])
         assert np.isfinite(gv).all() and np.abs(gv).sum() > 0
 
@@ -157,28 +164,32 @@ class TestGradients:
 class TestInverse:
     def test_albedo_recovery(self):
         """Miniature of BASELINE config 4: recover wall albedos from the
-        target image by pixel-gradient descent."""
+        target image by pixel-gradient descent. 64x48/spp4 so the three
+        small spheres get enough pixels to be observable."""
         scene, cam = cornell_box_scene()
-        cfg = _cfg(width=48, height=36)
+        cfg = _cfg(width=64, height=48, spp=4)
         true_albedo = _stack3(scene.materials.albedo)
         target = render_for_params({}, scene, cam, None, cfg, 0)
 
         # perturb only observable materials (skip the black light quad)
         init = {"albedo": jnp.clip(true_albedo + 0.2, 0, 1)}
         prob = InverseProblem(scene, cam, None, cfg, target)
-        params, losses = adam_inverse_render(prob, init, steps=120,
+        params, losses = adam_inverse_render(prob, init, steps=200,
                                              learning_rate=0.02)
         assert losses[-1] < losses[0] * 0.05, (losses[0], losses[-1])
         rec = np.asarray(params["albedo"])
         want = np.asarray(true_albedo)
         # observable materials (walls + spheres, not the light) recovered
         obs = list(range(3)) + [4, 5, 6]
-        assert np.abs(rec[obs] - want[obs]).max() < 0.08
+        assert np.abs(rec[obs] - want[obs]).max() < 0.05
 
     def test_sphere_position_recovery(self):
         """Geometry recovery needs smooth geometry gradients -> glass
-        scene with a smooth (bilinear) env map (see the zero-grad note in
-        TestGradients)."""
+        scene with a smooth (bilinear) env map: refraction makes interior
+        appearance geometry-dependent (diffuse spheres only move their
+        silhouette, which path AD cannot see). The 0.3 offset stays inside
+        the convex basin — the spheres sit 0.4 apart, so a 0.5+ offset
+        couples neighboring spheres' refraction paths chaotically."""
         scene, cam = glass_spheres_scene()
         tex = texture_from_array(gradient_sky(16, 8))
         cfg = _cfg(scene="glass_spheres", env_mode="equirect",
@@ -186,11 +197,11 @@ class TestInverse:
                    bounces=4)
         true_c = _stack3(scene.spheres.center)
         target = render_for_params({}, scene, cam, tex, cfg, 0)
-        init = {"sphere_centers": true_c.at[(3, 0)].add(0.5)}
+        err0 = 0.3
+        init = {"sphere_centers": true_c.at[(3, 0)].add(err0)}
         prob = InverseProblem(scene, cam, tex, cfg, target)
-        params, losses = adam_inverse_render(prob, init, steps=150,
-                                             learning_rate=0.02)
-        err0 = 0.5
+        params, losses = adam_inverse_render(prob, init, steps=250,
+                                             learning_rate=0.01, eps=1e-2)
         err = float(jnp.abs(params["sphere_centers"] - true_c).max())
         assert err < err0 * 0.5, (err0, err, losses[-1])
 
