@@ -202,9 +202,13 @@ def fresnel_reflect_amount(
 
     n = n1 / n2
     sin_t2_compl = 1.0 - (n * n) * (1.0 - cos_x * cos_x)
-    tir = sin_t2_compl < 0.0
     # double-where sqrt guard (see refract): keep the TIR branch's
-    # gradient path exactly zero instead of 0 * inf = NaN
+    # gradient path exactly zero instead of 0 * inf = NaN. The boundary
+    # value sin_t2_compl == 0 (exact grazing incidence) must land on the
+    # TIR side (<=, not <): both branches agree there in value (Fresnel
+    # = 1) but sqrt'(0) = inf, so routing it through sqrt reintroduces
+    # the inf gradient this guard exists to remove.
+    tir = sin_t2_compl <= 0.0
     sin_safe = jnp.where(tir, 1.0, sin_t2_compl)
     new_cos_x = jnp.where(tir, 0.0, jnp.sqrt(sin_safe))
     cos_x = jnp.where(n1_gt_n2 & ~tir, new_cos_x, cos_x)

@@ -96,7 +96,15 @@ class OfflineRenderer:
         # warmup happens out-of-band below (scratch buffers), so the timer
         # itself skips nothing: every accumulated frame is timed
         timer = FrameTimer(warmup_frames=0)
-        sync_every = max(checkpoint_every, 16) if checkpoint_every else 64
+        # sync points must be a multiple of the checkpoint cadence or
+        # checkpoints silently coarsen to lcm(sync, ckpt) — e.g.
+        # checkpoint_every=10 with sync_every=16 never checkpoints in a
+        # 64-frame run. Keep ~16 frames in flight between joins.
+        if checkpoint_every:
+            sync_every = checkpoint_every * max(
+                1, round(16 / checkpoint_every))
+        else:
+            sync_every = 64
 
         for w in range(cfg.warmup_frames):
             # warmup compiles + warms caches but must not pollute the

@@ -26,9 +26,12 @@ from cpuperformanceraytracer_tpu.texture.hdr import read_hdr
 class Texture(NamedTuple):
     """f32 RGB texture stored as three flat (H*W,) channel planes.
 
-    SoA planes (instead of (H,W,3)) keep every gather a rank-1 dynamic
-    take — the cheapest gather shape for XLA on TPU — mirroring the
-    reference's channel-base-pointer gathers (texture.cpp:16-27).
+    The SoA planes mirror the reference's channel-base-pointer layout
+    (texture.cpp:16-27); gathers do NOT read them separately. On TPU a
+    gather's cost is per QUERY, not per element, so ``_gather`` stacks
+    the planes into loop-invariant (H*W, 3) rows (hoisted by XLA) and
+    row-gathers once — measured ~5x faster than three rank-1 channel
+    takes (see ``_gather``).
     """
 
     r: jnp.ndarray
@@ -68,14 +71,17 @@ def load_cubemap_texture(paths) -> Texture:
 
 
 def _gather(tex: Texture, flat_idx) -> Vec3:
-    """One row-gather of (N, 3) texel rows.
+    """One row-gather of (N, 4) padded texel rows.
 
-    On TPU, XLA lowers a gather to a ~9 ns/query serial loop whose cost is
-    per QUERY, not per element: one (N,3)-row take is ~5x faster than three
-    separate channel-plane takes (measured 7.8 ms vs 37 ms for a 1280x720
-    deferred env lookup). The (H*W,3) stack is loop-invariant and hoisted
-    by XLA, so it costs one cheap transpose per frame."""
-    rgb = jnp.stack([tex.r, tex.g, tex.b], axis=-1)
+    On TPU, XLA lowers a gather to a per-QUERY loop, so cost scales with
+    queries, not elements — and the row stride decides the rate. Measured
+    for 921600 scattered queries into a 256x512 map (v5e):
+    (N,3) rows 47.6 ns/query, 3x channel-plane takes 70.1, (N,4) rows
+    3.6 ns/query — a 16-byte power-of-two row is the fast path, worth a
+    33% larger table. The (H*W,4) stack is loop-invariant and hoisted by
+    XLA, so it costs one cheap pack per frame (scripts/gather_microbench.py)."""
+    rgb = jnp.stack(
+        [tex.r, tex.g, tex.b, jnp.zeros_like(tex.r)], axis=-1)
     texel = jnp.take(rgb, flat_idx, axis=0)
     return Vec3(texel[..., 0], texel[..., 1], texel[..., 2])
 

@@ -48,10 +48,17 @@ class Timer:
 
 @dataclass
 class FrameTimer:
-    """Warmup-then-measure frame timer (Application.cpp:420-452 protocol)."""
+    """Warmup-then-measure frame timer (Application.cpp:420-452 protocol).
+
+    Measurements are stored as (seconds, frames) spans — a span of 1 frame
+    for the per-frame protocol, wider spans for chained dispatch. Means
+    and throughput come from the span totals; no synthetic per-frame
+    samples are fabricated, so variance/percentile consumers see only
+    real measurements (``spans``).
+    """
 
     warmup_frames: int = 2
-    _times: List[float] = field(default_factory=list)
+    _spans: List[tuple] = field(default_factory=list)  # (seconds, frames)
     _seen: int = 0
     _t0: float = 0.0
 
@@ -62,27 +69,38 @@ class FrameTimer:
         dt = time.perf_counter() - self._t0
         self._seen += 1
         if self._seen > self.warmup_frames:
-            self._times.append(dt)
+            self._spans.append((dt, 1))
 
     def add_span(self, seconds: float, frames: int):
         """Record a timed span covering ``frames`` frames (chained-dispatch
         protocol: frames enqueued back-to-back, one join per span)."""
-        for _ in range(frames):
-            self._seen += 1
-            if self._seen > self.warmup_frames:
-                self._times.append(seconds / frames)
+        self._seen += frames
+        timed = min(frames, self._seen - self.warmup_frames)
+        if timed >= frames:
+            self._spans.append((seconds, frames))
+        elif timed > 0:
+            # span straddles the warmup boundary: attribute a prorated
+            # share of the wall time to the timed frames
+            self._spans.append((seconds * timed / frames, timed))
+
+    @property
+    def spans(self) -> List[tuple]:
+        """Real measurements: list of (seconds, frames) spans."""
+        return list(self._spans)
 
     @property
     def timed_frames(self) -> int:
-        return len(self._times)
+        return sum(n for _, n in self._spans)
 
     @property
     def mean_ms(self) -> float:
-        if not self._times:
+        n = self.timed_frames
+        if not n:
             return float("nan")
-        return 1e3 * sum(self._times) / len(self._times)
+        return 1e3 * sum(s for s, _ in self._spans) / n
 
     def rays_per_second(self, rays_per_frame: float) -> float:
-        if not self._times:
+        total = sum(s for s, _ in self._spans)
+        if not total:
             return float("nan")
-        return rays_per_frame * len(self._times) / sum(self._times)
+        return rays_per_frame * self.timed_frames / total

@@ -6,7 +6,14 @@ the whole chain: block_until_ready is untrustworthy on the tunneled TPU
 backend (see utils/timing.py), a data-dependent fetch is not.
 """
 
+import os
+import sys
 import time
+
+# self-bootstrap: `python scripts/x.py` puts scripts/ (not the repo root)
+# on sys.path, and setting PYTHONPATH breaks this environment's TPU
+# plugin registration — so insert the repo root here instead.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cpuperformanceraytracer_tpu.config import RenderConfig
 from cpuperformanceraytracer_tpu.render.frame import make_frame_fn, zero_accum

@@ -58,6 +58,42 @@ def test_checkpoint_resume_identical(tmp_path):
                                np.asarray(c.state.accum.x), atol=1e-6)
 
 
+def test_checkpoint_cadence_not_coarsened(tmp_path):
+    """checkpoint_every must not silently coarsen to lcm(sync, ckpt):
+    with checkpoint_every=10 over 64 frames a checkpoint MUST be written
+    (regression: sync_every=16 made the cadence lcm(16,10)=80 > 64)."""
+    ck = str(tmp_path / "ck.npz")
+    r = OfflineRenderer(_cfg(num_frames=64, warmup_frames=0), silent=True)
+    r.run(checkpoint_path=ck, checkpoint_every=10)
+    assert os.path.exists(ck)
+    from cpuperformanceraytracer_tpu.io.checkpoint import load_checkpoint
+
+    _, frame, _ = load_checkpoint(ck)
+    # the final sync point (frame 64) is not a multiple of 10; the last
+    # checkpoint must be at frame 60
+    assert frame == 60
+
+
+def test_frame_timer_spans_are_real_measurements():
+    """add_span records (seconds, frames) spans, not fabricated
+    per-frame samples (ADVICE round 1)."""
+    from cpuperformanceraytracer_tpu.utils.timing import FrameTimer
+
+    t = FrameTimer(warmup_frames=0)
+    t.add_span(0.5, 10)
+    t.add_span(0.25, 10)
+    assert t.spans == [(0.5, 10), (0.25, 10)]
+    assert t.timed_frames == 20
+    assert abs(t.mean_ms - 37.5) < 1e-9
+    assert abs(t.rays_per_second(100.0) - 100.0 * 20 / 0.75) < 1e-6
+
+    # warmup straddling a span: prorated share attributed to timed frames
+    t2 = FrameTimer(warmup_frames=2)
+    t2.add_span(0.4, 4)
+    assert t2.timed_frames == 2
+    assert abs(t2.spans[0][0] - 0.2) < 1e-12
+
+
 def test_pallas_backend_driver():
     cfg = _cfg(backend="pallas", width=128, height=16,
                tile_height=8, tile_width=128)
