@@ -79,6 +79,18 @@ class RenderConfig:
     # dead — the block-level analog of the reference's all_set(shouldBreak)
     # early-out (v4 :731,781). Identical output; False only for A/B timing.
     early_exit: bool = True
+    # progressive frames rolled into ONE device dispatch (0 = auto: 16
+    # when accumulating offline, 1 otherwise). Dispatch overhead on the
+    # tunneled backend is comparable to a whole 720p frame, so the
+    # offline driver fuses K frames per dispatch via lax.fori_loop.
+    frames_per_dispatch: int = 0
+    # bake the (static) scene and camera into the kernel as compile-time
+    # constants: material fetch collapses to distinct-value select chains
+    # and unused shading paths (refraction, Beer absorption, ...) drop
+    # out entirely — the TPU analog of the reference's compile-time scene
+    # (InitializeScene data is static in the binary). Gradients need
+    # traced scenes: diff/ always uses backend="xla" which ignores this.
+    bake_scene: bool = True
 
     def validate(self) -> "RenderConfig":
         """Raise ValueError on invalid combinations (CheckValidSettings

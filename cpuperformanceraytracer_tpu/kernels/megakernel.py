@@ -67,11 +67,24 @@ def _safe_normalize(v: Vec3) -> Vec3:
 
 
 def _w3(cond, new: Vec3, old: Vec3) -> Vec3:
+    if cond is True:
+        return new
+    if cond is False:
+        return old
     return Vec3(
         jnp.where(cond, new.x, old.x),
         jnp.where(cond, new.y, old.y),
         jnp.where(cond, new.z, old.z),
     )
+
+
+def _wh(cond, a, b):
+    """jnp.where with python-bool shortcut (baked-scene specialization)."""
+    if cond is True:
+        return a
+    if cond is False:
+        return b
+    return jnp.where(cond, a, b)
 
 
 # ----------------------------------------------------------------------------
@@ -181,9 +194,27 @@ def _unflatten_state(flat):
             Vec3(mtx, mty, mtz), mjr, mjc, missed > 0.5, tuple(rng))
 
 
+def _const(x):
+    """Python-float compile-time constant, or None if traced."""
+    return float(x) if isinstance(x, (int, float)) else None
+
+
+def _is_const(x, value=None):
+    c = _const(x)
+    return c is not None and (value is None or c == value)
+
+
 def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
-                 bh: int, bw: int):
-    """Build the kernel body for static (cfg, scene sizes, block shape)."""
+                 bh: int, bw: int, baked=None):
+    """Build the kernel body for static (cfg, scene sizes, block shape).
+
+    ``baked``: optional (quad_np, sph_np, mat_np, cam_np) numpy tables —
+    the scene as compile-time constants (the TPU analog of the
+    reference's static InitializeScene data, v4 :1403-1496). Baking lets
+    the material fetch collapse to distinct-value select chains and lets
+    shading paths that the scene cannot exercise (refraction, Fresnel,
+    Beer absorption, roughness lerps) drop out of the kernel entirely.
+    """
     height, width = cfg.height, cfg.width
     env_draws = cfg.env_mode != "none" and cfg.env_sampling == "stochastic"
     unit_vec = (random_unit_vector_zangle
@@ -193,6 +224,12 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
     def load_quads(quad_ref):
         """Hoist every per-quad SMEM scalar out of the bounce loop: one
         read each per kernel invocation instead of one per bounce."""
+        if baked is not None:
+            q = baked[0]
+            return [tuple(
+                Vec3(*(float(v) for v in q[qi, c:c + 3]))
+                for c in (0, 3, 6, 12, 15, 21)
+            ) + (float(q[qi, 24]),) for qi in range(nq)]
         out = []
         for qi in range(nq):
             out.append((
@@ -207,10 +244,18 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         return out
 
     def load_spheres(sph_ref):
+        if baked is not None:
+            s = baked[1]
+            return [(Vec3(*(float(v) for v in s[si, 0:3])),
+                     float(s[si, 3]), float(s[si, 4])) for si in range(ns)]
         return [( _scalar3(sph_ref, si, 0), sph_ref[si, 3], sph_ref[si, 4])
                 for si in range(ns)]
 
     def load_materials(mat_ref):
+        if baked is not None:
+            m = baked[2]
+            return [[float(m[mi, k]) for k in range(MAT_COLS)]
+                    for mi in range(nm)]
         return [[mat_ref[mi, k] for k in range(MAT_COLS)] for mi in range(nm)]
 
     def trace(quads, spheres, pos: Vec3, dir: Vec3):
@@ -242,7 +287,8 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
                       jnp.where(flip, -n.z, n.z))
             best = jnp.where(valid, dist, best)
             normal = _w3(valid, qn, normal)
-            inside = inside & ~valid  # quads never report from-inside
+            # (quads never report from-inside, and they run before every
+            # sphere, so no ``inside`` update is needed here)
             mat = jnp.where(valid, mq, mat)
 
         for c, r, ms in spheres:
@@ -257,7 +303,13 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
             valid = (~miss) & (dist > MIN_RAY_HIT_TIME) & (dist < best)
             hit_rel = m_ + dir * dist
             sgn = jnp.where(from_in, -1.0, 1.0)
-            sn = _safe_normalize(hit_rel) * sgn
+            if _const(r) is not None:
+                # on-sphere point: |hit_rel| == radius exactly, so the
+                # rsqrt-normalize collapses to one scale (error ~1 ulp vs
+                # the oracle's normalize; strict-parity tests tolerate it)
+                sn = hit_rel * (sgn * (1.0 / _const(r)))
+            else:
+                sn = _safe_normalize(hit_rel) * sgn
             best = jnp.where(valid, dist, best)
             normal = _w3(valid, sn, normal)
             inside = (valid & from_in) | (~valid & inside)
@@ -266,14 +318,60 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         return best, normal, inside, mat
 
     def fetch_material(materials, idx):
-        """17-field select chain over NM materials (GatherMaterials
-        analog via broadcast-compare-select)."""
-        fields = [jnp.zeros((bh, bw), jnp.float32) for _ in range(MAT_COLS)]
-        for mi, mat_row in enumerate(materials):
-            sel = idx == float(mi)
-            for k in range(MAT_COLS):
-                fields[k] = jnp.where(sel, mat_row[k], fields[k])
+        """17-field material fetch (GatherMaterials analog, v4 :389-417).
+
+        Traced scene: broadcast-compare-select chain over NM materials.
+        Baked scene: per-field DISTINCT-VALUE grouping — each field costs
+        (#distinct values - 1) selects against precomputed union masks
+        instead of NM selects, and a scene-wide-constant field becomes a
+        python float (letting downstream shading code drop out at trace
+        time)."""
+        if baked is None:
+            fields = [jnp.zeros((bh, bw), jnp.float32)
+                      for _ in range(MAT_COLS)]
+            for mi, mat_row in enumerate(materials):
+                sel = idx == float(mi)
+                for k in range(MAT_COLS):
+                    fields[k] = jnp.where(sel, mat_row[k], fields[k])
+            return fields
+
+        eq = {}
+
+        def eq_mask(mi):
+            if mi not in eq:
+                eq[mi] = idx == float(mi)
+            return eq[mi]
+
+        union_cache = {}
+
+        def union_mask(mis):
+            key = frozenset(mis)
+            if key not in union_cache:
+                m = eq_mask(mis[0])
+                for mi in mis[1:]:
+                    m = m | eq_mask(mi)
+                union_cache[key] = m
+            return union_cache[key]
+
+        fields = []
+        for k in range(MAT_COLS):
+            groups = {}
+            for mi in range(nm):
+                groups.setdefault(materials[mi][k], []).append(mi)
+            if len(groups) == 1:
+                fields.append(next(iter(groups)))  # python float constant
+                continue
+            # the most common value is the base (selected by default)
+            base = max(groups.items(), key=lambda kv: len(kv[1]))[0]
+            field = jnp.full((bh, bw), base, jnp.float32)
+            for v, mis in groups.items():
+                if v != base:
+                    field = jnp.where(union_mask(mis), v, field)
+            fields.append(field)
         return fields
+
+    def cam_scalar(cam_ref, i):
+        return float(baked[3][i]) if baked is not None else cam_ref[i]
 
     def camera_ray_blk(cam_ref, rng, frag_x, frag_y):
         """Primary ray for the block (mainImage analog): jitter draws +
@@ -290,12 +388,15 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         u = (fx / width) * 2.0 - 1.0
         v = (fy / height) * 2.0 - 1.0
         v = v * (height / width)
+        # pos planes stay materialized (bh, bw) arrays even when baked:
+        # they are loop-carried through VMEM scratch refs
         cam_pos = Vec3(
-            jnp.full((bh, bw), cam_ref[0]),
-            jnp.full((bh, bw), cam_ref[1]),
-            jnp.full((bh, bw), cam_ref[2]),
+            jnp.full((bh, bw), cam_scalar(cam_ref, 0)),
+            jnp.full((bh, bw), cam_scalar(cam_ref, 1)),
+            jnp.full((bh, bw), cam_scalar(cam_ref, 2)),
         )
-        target = Vec3(u, v, jnp.full((bh, bw), cam_ref[4] * cam_ref[3]))
+        target = Vec3(u, v, jnp.full(
+            (bh, bw), cam_scalar(cam_ref, 4) * cam_scalar(cam_ref, 3)))
         return cam_pos, _safe_normalize(target), rng
 
     def sample_once(quads, spheres, materials, cam_ref, scratch, rng, pos,
@@ -341,9 +442,9 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
                 # constant ambient needs no gather: add inline (correct
                 # for any spp); cam_ref[5:8] carries the ambient color
                 ret = Vec3(
-                    jnp.where(first_miss, ret.x + cam_ref[5] * thr.x, ret.x),
-                    jnp.where(first_miss, ret.y + cam_ref[6] * thr.y, ret.y),
-                    jnp.where(first_miss, ret.z + cam_ref[7] * thr.z, ret.z),
+                    jnp.where(first_miss, ret.x + cam_scalar(cam_ref, 5) * thr.x, ret.x),
+                    jnp.where(first_miss, ret.y + cam_scalar(cam_ref, 6) * thr.y, ret.y),
+                    jnp.where(first_miss, ret.z + cam_scalar(cam_ref, 7) * thr.z, ret.z),
                 )
             miss_dir = _w3(first_miss, dir, miss_dir)
             miss_thr = _w3(first_miss, thr, miss_thr)
@@ -360,63 +461,111 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
             spec_color = Vec3(sc_r, sc_g, sc_b)
             refr_color = Vec3(rc_r, rc_g, rc_b)
 
+            # baked-scene specialization facts (python bools; with a
+            # traced scene every one of these is False and the full
+            # shading pipeline is emitted)
+            no_inside = ns == 0  # quads never report from-inside
+            no_beer = no_inside or all(
+                _is_const(c, 0.0) for c in (rc_r, rc_g, rc_b))
+            never_spec = _is_const(spec_ch, 0.0)
+            never_refr = _is_const(refr_ch, 0.0)
+            smooth_spec = _is_const(spec_rough, 0.0)
+            smooth_refr = _is_const(refr_rough, 0.0)
+
             d_safe = jnp.where(miss, 0.0, dist)
+            from_inside_m = False if no_inside else from_inside
 
             # Beer absorption
-            new_thr = Vec3(
-                jnp.where(from_inside, thr.x * jnp.exp(-refr_color.x * d_safe), thr.x),
-                jnp.where(from_inside, thr.y * jnp.exp(-refr_color.y * d_safe), thr.y),
-                jnp.where(from_inside, thr.z * jnp.exp(-refr_color.z * d_safe), thr.z),
-            )
+            if no_beer:
+                new_thr = thr
+            else:
+                new_thr = Vec3(
+                    jnp.where(from_inside_m, thr.x * jnp.exp(-refr_color.x * d_safe), thr.x),
+                    jnp.where(from_inside_m, thr.y * jnp.exp(-refr_color.y * d_safe), thr.y),
+                    jnp.where(from_inside_m, thr.z * jnp.exp(-refr_color.z * d_safe), thr.z),
+                )
 
-            # Fresnel-adjusted lottery
-            has_spec = spec_ch > 0.0
-            n1 = jnp.where(from_inside, ior, 1.0)
-            n2 = jnp.where(from_inside, 1.0, ior)
-            fres = fresnel_reflect_amount(n1, n2, normal, dir, spec_ch,
-                                          jnp.float32(1.0))
-            chance_mult = (1.0 - fres) / jnp.maximum(1.0 - spec_ch, 1e-6)
-            spec_chance = jnp.where(has_spec, fres, spec_ch)
-            refr_chance = jnp.where(has_spec, refr_ch * chance_mult, refr_ch)
+            # Fresnel-adjusted lottery. When NO material has a specular
+            # chance the whole Fresnel evaluation (sqrt + div + x^5)
+            # drops out — the chances are the raw material fields.
+            if never_spec:
+                spec_chance = 0.0
+                refr_chance = refr_ch
+            else:
+                has_spec = True if _const(spec_ch) else (spec_ch > 0.0)
+                n1 = _wh(from_inside_m, ior, 1.0)
+                n2 = _wh(from_inside_m, 1.0, ior)
+                fres = fresnel_reflect_amount(n1, n2, normal, dir, spec_ch,
+                                              jnp.float32(1.0))
+                chance_mult = (1.0 - fres) / jnp.maximum(1.0 - spec_ch, 1e-6)
+                spec_chance = _wh(has_spec, fres, spec_ch)
+                refr_chance = _wh(has_spec, refr_ch * chance_mult, refr_ch)
 
             roll, rng = rng.next01()
-            do_spec = (spec_chance > 0.0) & (roll < spec_chance)
-            do_refr = (~do_spec) & (refr_chance > 0.0) & (
-                roll < spec_chance + refr_chance)
+            do_spec = (False if never_spec
+                       else (spec_chance > 0.0) & (roll < spec_chance))
+            if never_refr:
+                do_refr = False
+            else:
+                below = roll < spec_chance + refr_chance
+                gated = (refr_chance > 0.0) & below
+                do_refr = gated if do_spec is False else (~do_spec) & gated
 
-            diff_chance = jnp.maximum(1.0 - (spec_chance + refr_chance), 0.0)
-            ray_prob = jnp.where(do_spec, spec_chance,
-                                 jnp.where(do_refr, refr_chance, diff_chance))
-            ray_prob = jnp.maximum(ray_prob, MIN_RAY_PROBABILITY)
+            diff_chance = (
+                1.0 if never_spec and never_refr
+                else jnp.maximum(1.0 - (spec_chance + refr_chance), 0.0))
+            ray_prob = _wh(do_spec, spec_chance,
+                           _wh(do_refr, refr_chance, diff_chance))
+            if _const(ray_prob) is None:
+                ray_prob = jnp.maximum(ray_prob, MIN_RAY_PROBABILITY)
+                inv_prob = 1.0 / ray_prob
+            else:
+                inv_prob = 1.0 / max(_const(ray_prob), MIN_RAY_PROBABILITY)
 
-            nudge = jnp.where(do_refr, -RAY_POS_NORMAL_NUDGE,
-                              RAY_POS_NORMAL_NUDGE)
+            nudge = _wh(do_refr, -RAY_POS_NORMAL_NUDGE, RAY_POS_NORMAL_NUDGE)
             new_pos = pos + dir * d_safe + normal * nudge
 
             unit_d, rng = unit_vec(rng)
             diffuse_dir = _safe_normalize(normal + unit_d)
-            spec_dir = reflect(dir, normal)
-            spec_dir = spec_dir + (diffuse_dir - spec_dir) * (
-                spec_rough * spec_rough)
-            eta = jnp.where(from_inside, ior, 1.0 / ior)
-            refr_dir = refract(dir, normal, eta)
+            if never_spec:
+                spec_dir = diffuse_dir  # unused (do_spec is False)
+            else:
+                spec_dir = reflect(dir, normal)
+                if not smooth_spec:
+                    spec_dir = spec_dir + (diffuse_dir - spec_dir) * (
+                        spec_rough * spec_rough)
+            # the refraction unit vector is DRAWN unconditionally (RNG
+            # stream contract with the oracle) even when its math drops out
             unit_r, rng = unit_vec(rng)
-            refr_target = _safe_normalize(unit_r - normal)
-            refr_dir = refr_dir + (refr_target - refr_dir) * (
-                refr_rough * refr_rough)
+            if never_refr:
+                refr_dir = diffuse_dir  # unused (do_refr is False)
+            else:
+                eta = _wh(from_inside_m, ior, 1.0 / ior)
+                refr_dir = refract(dir, normal, eta)
+                if not smooth_refr:
+                    refr_target = _safe_normalize(unit_r - normal)
+                    refr_dir = refr_dir + (refr_target - refr_dir) * (
+                        refr_rough * refr_rough)
 
             new_dir = _w3(do_spec, spec_dir,
                           _w3(do_refr, refr_dir, diffuse_dir))
             new_dir = _safe_normalize(new_dir)
 
-            new_ret = ret + emissive * new_thr
+            if all(_is_const(e, 0.0) for e in (em_r, em_g, em_b)):
+                new_ret = ret
+            else:
+                new_ret = ret + emissive * new_thr
             color_factor = _w3(do_spec, spec_color, albedo)
-            new_thr = Vec3(
-                jnp.where(do_refr, new_thr.x, new_thr.x * color_factor.x),
-                jnp.where(do_refr, new_thr.y, new_thr.y * color_factor.y),
-                jnp.where(do_refr, new_thr.z, new_thr.z * color_factor.z),
-            )
-            new_thr = new_thr * (1.0 / ray_prob)
+            if do_refr is False:
+                new_thr = new_thr * color_factor
+            else:
+                new_thr = Vec3(
+                    jnp.where(do_refr, new_thr.x, new_thr.x * color_factor.x),
+                    jnp.where(do_refr, new_thr.y, new_thr.y * color_factor.y),
+                    jnp.where(do_refr, new_thr.z, new_thr.z * color_factor.z),
+                )
+            if _const(inv_prob) != 1.0:
+                new_thr = new_thr * inv_prob
 
             if cfg.roulette != "off":
                 p = jnp.clip(
@@ -478,9 +627,14 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         return (ret, (miss_dir, miss_thr, miss_jr, miss_jc, missed),
                 rng_unflatten(rng_state))
 
-    def kernel(frame_ref, quad_ref, sph_ref, mat_ref, cam_ref,
-               r_ref, g_ref, b_ref, md_x, md_y, md_z,
-               mt_x, mt_y, mt_z, jr_ref, jc_ref, missed_ref, *scratch):
+    def kernel(frame_ref, *rest):
+        if baked is not None:
+            quad_ref = sph_ref = mat_ref = cam_ref = None
+        else:
+            quad_ref, sph_ref, mat_ref, cam_ref = rest[:4]
+            rest = rest[4:]
+        (r_ref, g_ref, b_ref, md_x, md_y, md_z,
+         mt_x, mt_y, mt_z, jr_ref, jc_ref, missed_ref, *scratch) = rest
         bi = pl.program_id(0)
         bj = pl.program_id(1)
         row = bi * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
@@ -582,16 +736,39 @@ def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
             f"tile {bw}x{bh}"
         )
 
-    quad_tbl, sph_tbl, mat_tbl = pack_scene(scene)
-    nq, ns, nm = quad_tbl.shape[0], sph_tbl.shape[0], mat_tbl.shape[0]
-    a = cfg.ambient
-    cam_tbl = jnp.stack([
-        camera.position.x, camera.position.y, camera.position.z,
-        camera.distance, camera.forward_z,
-        jnp.float32(a[0]), jnp.float32(a[1]), jnp.float32(a[2]),
-    ])
+    # bake the scene into the kernel when it is concrete (not traced):
+    # the material fetch collapses to distinct-value selects and shading
+    # paths the scene cannot exercise drop out (see _make_kernel)
+    import numpy as np
+    from jax.core import Tracer
 
-    kernel = _make_kernel(cfg, nq, ns, nm, bh, bw)
+    concrete = not any(
+        isinstance(leaf, Tracer)
+        for leaf in jax.tree.leaves((scene, camera)))
+    bake = bool(getattr(cfg, "bake_scene", False)) and concrete
+
+    a = cfg.ambient
+    if bake:
+        with jax.ensure_compile_time_eval():
+            quad_tbl, sph_tbl, mat_tbl = pack_scene(scene)
+        nq, ns, nm = quad_tbl.shape[0], sph_tbl.shape[0], mat_tbl.shape[0]
+        cam_np = np.array([
+            float(camera.position.x), float(camera.position.y),
+            float(camera.position.z), float(camera.distance),
+            float(camera.forward_z), a[0], a[1], a[2]], np.float32)
+        baked = (np.asarray(quad_tbl), np.asarray(sph_tbl),
+                 np.asarray(mat_tbl), cam_np)
+    else:
+        quad_tbl, sph_tbl, mat_tbl = pack_scene(scene)
+        nq, ns, nm = quad_tbl.shape[0], sph_tbl.shape[0], mat_tbl.shape[0]
+        cam_tbl = jnp.stack([
+            camera.position.x, camera.position.y, camera.position.z,
+            camera.distance, camera.forward_z,
+            jnp.float32(a[0]), jnp.float32(a[1]), jnp.float32(a[2]),
+        ])
+        baked = None
+
+    kernel = _make_kernel(cfg, nq, ns, nm, bh, bw, baked=baked)
     grid = (cfg.height // bh, cfg.width // bw)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
@@ -606,24 +783,29 @@ def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
         + [pltpu.VMEM((bh, bw), jnp.uint32)] * n_rng
     )
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
+    if baked is not None:
+        in_specs = [smem((1,))]
+        args = (jnp.asarray(frame, jnp.int32).reshape(1),)
+    else:
+        in_specs = [
             smem((1,)),
             smem((nq, QUAD_COLS)),
             smem((ns, SPH_COLS)),
             smem((nm, MAT_COLS)),
             smem((8,)),
-        ],
+        ]
+        args = (jnp.asarray(frame, jnp.int32).reshape(1),
+                quad_tbl, sph_tbl, mat_tbl, cam_tbl)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=[blk] * 12,
         out_shape=[plane] * 12,
         scratch_shapes=scratch_shapes,
         interpret=_use_interpret(),
-    )(
-        jnp.asarray(frame, jnp.int32).reshape(1),
-        quad_tbl, sph_tbl, mat_tbl, cam_tbl,
-    )
+    )(*args)
 
     (r, g, b, mdx, mdy, mdz, mtx, mty, mtz, jr, jc, missed) = outs
 

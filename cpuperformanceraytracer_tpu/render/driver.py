@@ -11,6 +11,7 @@ checkpointing and resumable accumulation state.
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from typing import Optional
 
@@ -63,8 +64,13 @@ class OfflineRenderer:
             )
 
             self.frame_fn = make_sharded_frame_fn(self.cfg, mesh)
+            self._multi_fn = None
         else:
-            self.frame_fn = make_frame_fn(self.cfg)
+            self.frame_fn = make_frame_fn(self.cfg, scene=self.scene,
+                                          camera=self.camera)
+            self._multi_fn = None  # built lazily per dispatch width
+            self._multi_k = 0
+        self.mesh = mesh
         self.state = RenderState(accum=zero_accum(self.cfg), frame=0)
 
     def resume(self, checkpoint_path: Optional[str]) -> None:
@@ -78,6 +84,28 @@ class OfflineRenderer:
             self.state.accum,
         )
         self.state.frame += 1
+
+    def step_k(self, k: int) -> None:
+        """``k`` progressive frames in ONE device dispatch (fused via
+        lax.fori_loop; see make_multi_frame_fn). Falls back to per-frame
+        steps under a mesh or for k == 1."""
+        if k == 1 or self.mesh is not None:
+            for _ in range(k):
+                self.step()
+            return
+        if self._multi_fn is None or self._multi_k != k:
+            from cpuperformanceraytracer_tpu.render.frame import (
+                make_multi_frame_fn,
+            )
+
+            self._multi_fn = make_multi_frame_fn(
+                self.cfg, k, scene=self.scene, camera=self.camera)
+            self._multi_k = k
+        self.state.accum = self._multi_fn(
+            self.scene, self.camera, self.texture, self.state.frame,
+            self.state.accum,
+        )
+        self.state.frame += k
 
     def run(self, checkpoint_path: Optional[str] = None,
             checkpoint_every: int = 0) -> FrameTimer:
@@ -96,38 +124,60 @@ class OfflineRenderer:
         # warmup happens out-of-band below (scratch buffers), so the timer
         # itself skips nothing: every accumulated frame is timed
         timer = FrameTimer(warmup_frames=0)
-        # sync points must be a multiple of the checkpoint cadence or
-        # checkpoints silently coarsen to lcm(sync, ckpt) — e.g.
-        # checkpoint_every=10 with sync_every=16 never checkpoints in a
-        # 64-frame run. Keep ~16 frames in flight between joins.
+
+        # dispatch width: K frames fused per device dispatch (overhead on
+        # the tunneled backend is ~a whole 720p frame). Checkpoint
+        # boundaries must land on dispatch boundaries, so K divides the
+        # checkpoint cadence.
+        k = cfg.frames_per_dispatch
+        if not k:
+            k = 1 if self.mesh is not None else 16
+        if checkpoint_every:
+            k = math.gcd(k, checkpoint_every)
+        k = max(1, min(k, cfg.num_frames))
+
+        # sync points: a multiple of K, aligned to the checkpoint cadence
+        # (checkpoint_every=10 with sync_every=16 would silently coarsen
+        # the cadence to lcm=80). Keep ~16-64 frames in flight per join.
         if checkpoint_every:
             sync_every = checkpoint_every * max(
                 1, round(16 / checkpoint_every))
         else:
-            sync_every = 64
+            sync_every = -(-64 // k) * k
 
-        for w in range(cfg.warmup_frames):
+        if cfg.warmup_frames > 0:
             # warmup compiles + warms caches but must not pollute the
             # accumulation: render into a scratch buffer (Application.cpp:421
             # does pollute; progressive mean makes it harmless there — here
             # we keep the image exactly equal to an unwarmed run)
-            scratch = self.frame_fn(
-                self.scene, self.camera, self.texture, 0, zero_accum(cfg)
-            )
-            device_sync(scratch)
+            keep = self.state
+            self.state = RenderState(accum=zero_accum(cfg), frame=0)
+            warm = -(-cfg.warmup_frames // k) * k
+            for _ in range(warm // k):
+                self.step_k(k)
+            device_sync(self.state.accum)
+            self.state = keep
 
         t0 = time.perf_counter()
-        done = 0
-        for i in range(cfg.num_frames):
-            self.step()
-            if (i + 1) % sync_every == 0 or i == cfg.num_frames - 1:
+        done = counted = 0
+        next_sync = sync_every
+        while done < cfg.num_frames:
+            todo = min(k, cfg.num_frames - done)
+            if todo < k:
+                for _ in range(todo):
+                    self.step()
+            else:
+                self.step_k(k)
+            done += todo
+            if done >= next_sync or done == cfg.num_frames:
                 device_sync(self.state.accum)  # true barrier (see timing.py)
                 now = time.perf_counter()
-                timer.add_span(now - t0, (i + 1) - done)
-                t0, done = now, i + 1
-                progress(self.log, i, cfg.num_frames)
+                timer.add_span(now - t0, done - counted)
+                t0, counted = now, done
+                next_sync = done + sync_every
+                progress(self.log, done - 1, cfg.num_frames)
                 if checkpoint_path and checkpoint_every and (
-                    (i + 1) % checkpoint_every == 0
+                    done % checkpoint_every == 0
                 ):
                     save_checkpoint(checkpoint_path, self.state.accum,
                                     self.state.frame, cfg)

@@ -68,29 +68,68 @@ def postprocess_image(accum: Vec3, exposure: float = 1.0) -> jnp.ndarray:
     return to_u8(postprocess_color(accum, exposure))
 
 
-def make_frame_fn(cfg: RenderConfig, backend: Optional[str] = None):
-    """Build the jitted progressive-frame step:
-    (scene, camera, texture, frame, accum) -> accum'.
-
-    The accumulation buffer is donated — the TPU updates it in place,
-    the analog of the reference rendering straight into its persistent
-    f32 render target.
-    """
-    cfg = cfg.validate()
+def _make_render(cfg: RenderConfig, backend: Optional[str],
+                 static_scene, static_camera):
+    """(scene, camera, texture, frame) -> color, resolving backend and
+    scene baking. When cfg.bake_scene and a concrete scene/camera pair is
+    supplied, the returned fn IGNORES its scene/camera arguments and uses
+    the baked ones (compile-time constants inside the Pallas kernel)."""
     if (backend or cfg.backend) == "pallas":
         from cpuperformanceraytracer_tpu.kernels.megakernel import (
             render_frame_pallas,
         )
 
-        def step(scene, camera, texture, frame, accum):
-            color = render_frame_pallas(scene, camera, texture, cfg, frame)
-            return accumulate_frame(accum, color, frame)
-    else:
-        def step(scene, camera, texture, frame, accum):
-            color = render_frame(scene, camera, texture, cfg, frame)
-            return accumulate_frame(accum, color, frame)
+        if cfg.bake_scene and static_scene is not None:
+            return lambda s, c, t, f: render_frame_pallas(
+                static_scene, static_camera, t, cfg, f)
+        return lambda s, c, t, f: render_frame_pallas(s, c, t, cfg, f)
+    return lambda s, c, t, f: render_frame(s, c, t, cfg, f)
+
+
+def make_frame_fn(cfg: RenderConfig, backend: Optional[str] = None,
+                  scene=None, camera=None):
+    """Build the jitted progressive-frame step:
+    (scene, camera, texture, frame, accum) -> accum'.
+
+    The accumulation buffer is donated — the TPU updates it in place,
+    the analog of the reference rendering straight into its persistent
+    f32 render target. Pass a concrete ``scene``/``camera`` to let
+    cfg.bake_scene specialize the Pallas kernel on them (the jitted fn
+    then ignores its scene/camera arguments).
+    """
+    cfg = cfg.validate()
+    render = _make_render(cfg, backend, scene, camera)
+
+    def step(scene, camera, texture, frame, accum):
+        color = render(scene, camera, texture, frame)
+        return accumulate_frame(accum, color, frame)
 
     return jax.jit(step, donate_argnums=(4,))
+
+
+def make_multi_frame_fn(cfg: RenderConfig, frames_per_dispatch: int,
+                        scene=None, camera=None):
+    """Build a jitted K-frame progressive step:
+    (scene, camera, texture, frame0, accum) -> accum after K frames.
+
+    Per-dispatch overhead on the tunneled TPU backend is comparable to a
+    whole 720p frame, so the offline driver rolls K frames into ONE
+    dispatch with a lax.fori_loop (the kernel is traced once; the frame
+    index is loop-carried). The reference's analog is its 600-frame
+    offline loop with no per-frame host round-trips
+    (Application.cpp:426-438). ``scene``/``camera``: as make_frame_fn."""
+    cfg = cfg.validate()
+    render = _make_render(cfg, None, scene, camera)
+
+    def step_k(scene, camera, texture, frame0, accum):
+        def body(i, acc):
+            frame = frame0 + i
+            color = render(scene, camera, texture, frame)
+            return accumulate_frame(acc, color, frame)
+
+        return jax.lax.fori_loop(0, frames_per_dispatch, body, accum)
+
+    return jax.jit(step_k, donate_argnums=(4,))
 
 
 def zero_accum(cfg: RenderConfig) -> Vec3:

@@ -80,6 +80,10 @@ def _gather(tex: Texture, flat_idx) -> Vec3:
     3.6 ns/query — a 16-byte power-of-two row is the fast path, worth a
     33% larger table. The (H*W,4) stack is loop-invariant and hoisted by
     XLA, so it costs one cheap pack per frame (scripts/gather_microbench.py)."""
+    # NOTE: a channel-major lax.gather ((4, N) output via offset_dims=(0,))
+    # avoids the unpack copy but XLA then pays 1.9 ms/frame in a
+    # slice_reduce fusion — net worse than the 0.6 ms copy (profiled on
+    # v5e; scripts/profile_frame.py).
     rgb = jnp.stack(
         [tex.r, tex.g, tex.b, jnp.zeros_like(tex.r)], axis=-1)
     texel = jnp.take(rgb, flat_idx, axis=0)
