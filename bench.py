@@ -43,6 +43,7 @@ def main() -> None:
         env_sampling="stochastic", rng="wang",
         num_frames=frames, warmup_frames=2,
         backend="pallas",  # the TPU megakernel path (parity-tested vs xla)
+        tile_height=24,    # best of the v5e block sweep (scripts/perf_ablate)
     )
     if backend:
         cfg = cfg.replace(backend=backend)

@@ -691,15 +691,15 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         r_ref[:] = acc.x
         g_ref[:] = acc.y
         b_ref[:] = acc.z
-        md_x[:] = miss_dir.x
-        md_y[:] = miss_dir.y
-        md_z[:] = miss_dir.z
         mt_x[:] = miss_thr.x
         mt_y[:] = miss_thr.y
         mt_z[:] = miss_thr.z
+        missed_ref[:] = jnp.where(missed, 1.0, 0.0)
+        md_x[:] = miss_dir.x
+        md_y[:] = miss_dir.y
+        md_z[:] = miss_dir.z
         jr_ref[:] = miss_jr
         jc_ref[:] = miss_jc
-        missed_ref[:] = jnp.where(missed, 1.0, 0.0)
 
     return kernel
 
@@ -712,17 +712,8 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
-                        frame) -> Vec3:
-    """Pallas-backed frame render; signature-compatible with
-    render_frame. The deferred env gather + final add runs in XLA after
-    the kernel.
-
-    Restriction: with spp > 1 the deferred miss-state is only tracked
-    for the LAST sample, so spp > 1 requires env_mode == "none" for now
-    (frame accumulation covers multi-sample rendering; the in-kernel
-    env gather lands with the VMEM-resident texture path).
-    """
+def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame):
+    """Shared pallas_call setup/dispatch; returns the raw output planes."""
     cfg = cfg.validate()
     if cfg.spp > 1 and cfg.env_mode != "none":
         raise NotImplementedError(
@@ -797,27 +788,39 @@ def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
         args = (jnp.asarray(frame, jnp.int32).reshape(1),
                 quad_tbl, sph_tbl, mat_tbl, cam_tbl)
 
-    outs = pl.pallas_call(
+    out_specs = [blk] * 12
+    out_shape = [plane] * 12
+
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[blk] * 12,
-        out_shape=[plane] * 12,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=_use_interpret(),
     )(*args)
 
+
+def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
+                        frame) -> Vec3:
+    """Pallas-backed frame render; signature-compatible with
+    render_frame. The deferred env gather + final add runs in XLA after
+    the kernel.
+
+    Restriction: with spp > 1 the deferred miss-state is only tracked
+    for the LAST sample, so spp > 1 requires env_mode == "none" for now
+    (frame accumulation covers multi-sample rendering).
+    """
+    outs = _pallas_render(scene, camera, texture, cfg, frame)
     (r, g, b, mdx, mdy, mdz, mtx, mty, mtz, jr, jc, missed) = outs
 
     if cfg.env_mode == "none":
         # ambient already added in-kernel (constant, no gather needed)
         return Vec3(r, g, b)
 
+    # a never-missed pixel has miss_throughput == 0, so no mask is
+    # needed: env * 0 == 0 (env is finite for the default miss state)
     miss_dir = Vec3(mdx, mdy, mdz)
     env = sample_environment_deferred(texture, miss_dir, cfg, jr, jc)
-    missed_b = missed > 0.5
-    return Vec3(
-        jnp.where(missed_b, r + env.x * mtx, r),
-        jnp.where(missed_b, g + env.y * mty, g),
-        jnp.where(missed_b, b + env.z * mtz, b),
-    )
+    return Vec3(r + env.x * mtx, g + env.y * mty, b + env.z * mtz)

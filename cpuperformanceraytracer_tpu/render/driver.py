@@ -155,6 +155,10 @@ class OfflineRenderer:
             warm = -(-cfg.warmup_frames // k) * k
             for _ in range(warm // k):
                 self.step_k(k)
+            if cfg.num_frames % k:
+                # the remainder frames run through the single-frame fn —
+                # compile it now or its compile lands inside the timed loop
+                self.step()
             device_sync(self.state.accum)
             self.state = keep
 

@@ -136,6 +136,16 @@ def sample_bilinear(tex: Texture, uv: Vec2) -> Vec3:
     return top + (bot - top) * dv
 
 
+def stochastic_flat_index(tex: Texture, uv: Vec2, jr, jc):
+    """Flat texel index of the stochastic single-tap (jittered nearest,
+    TexelSampleRandom, texture.cpp:78-86)."""
+    row = uv.y * (tex.height - 1)
+    col = uv.x * (tex.width - 1)
+    rand_row = jnp.floor(row + jr).astype(jnp.int32)
+    rand_col = jnp.floor(col + jc).astype(jnp.int32)
+    return rand_row * tex.width + rand_col
+
+
 def sample_stochastic_with_jitter(tex: Texture, uv: Vec2, jr, jc) -> Vec3:
     """Stochastic single-tap with caller-provided jitter pair in [0,1)^2.
 
@@ -145,11 +155,7 @@ def sample_stochastic_with_jitter(tex: Texture, uv: Vec2, jr, jc) -> Vec3:
     radiance at most once, at its first miss (see
     render/integrator.py deferred-environment note).
     """
-    row = uv.y * (tex.height - 1)
-    col = uv.x * (tex.width - 1)
-    rand_row = jnp.floor(row + jr).astype(jnp.int32)
-    rand_col = jnp.floor(col + jc).astype(jnp.int32)
-    return _gather(tex, rand_row * tex.width + rand_col)
+    return _gather(tex, stochastic_flat_index(tex, uv, jr, jc))
 
 
 def sample_stochastic(tex: Texture, uv: Vec2, rng):
@@ -262,6 +268,33 @@ def sample_environment_deferred(tex, direction: Vec3, cfg, jr, jc) -> Vec3:
     if cfg.env_sampling == "bilinear":
         return sample_bilinear(tex, uv)
     return sample_nearest(tex, uv)
+
+
+def env_texel_flat_index(tex, direction: Vec3, cfg, jr, jc):
+    """Flat texel index of the deferred env lookup (stochastic or
+    nearest sampling only — bilinear needs 4 taps + planar lerp weights).
+    Matches sample_environment_deferred's tap exactly."""
+    if cfg.env_mode == "equirect":
+        d = (Vec3(-direction.x, direction.y, -direction.z)
+             if cfg.env_flip_xz else direction)
+        uv = equirect_uv(d)
+    else:
+        uv = cubemap_uv(direction)
+    if cfg.env_sampling == "stochastic":
+        return stochastic_flat_index(tex, uv, jr, jc)
+    # nearest: truncation + clamp, as texel_fetch/sample_nearest
+    row = jnp.clip((uv.y * (tex.height - 1)).astype(jnp.int32),
+                   0, tex.height - 1)
+    col = jnp.clip((uv.x * (tex.width - 1)).astype(jnp.int32),
+                   0, tex.width - 1)
+    return row * tex.width + col
+
+
+def packed_texel_table(tex: Texture):
+    """(H*W, 4) gather table of [r, g, b, 0] rows (16-byte rows are the
+    fast gather shape; see _gather)."""
+    return jnp.stack(
+        [tex.r, tex.g, tex.b, jnp.zeros_like(tex.r)], axis=-1)
 
 
 def sample_environment(tex, direction: Vec3, cfg, rng) -> Tuple[Vec3, object]:
