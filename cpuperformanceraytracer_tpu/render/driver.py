@@ -204,3 +204,16 @@ class OfflineRenderer:
             write_png(path, img)
         else:
             write_bmp(path, img)
+
+    def screenshot(self, directory: str = ".",
+                   prefix: str = "screenshot") -> str:
+        """Timestamped image dump of the current accumulation — the
+        's'-key screenshot path (Application.cpp:603-623, which writes
+        'screenshot_<date>.bmp'). Returns the written path."""
+        import os
+
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+        path = os.path.join(
+            directory, f"{prefix}_{stamp}_frame{self.state.frame}.bmp")
+        self.write_image(path)
+        return path

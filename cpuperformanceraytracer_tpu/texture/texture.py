@@ -270,6 +270,35 @@ def sample_environment_deferred(tex, direction: Vec3, cfg, jr, jc) -> Vec3:
     return sample_nearest(tex, uv)
 
 
+def bilinear_resample(rgb: np.ndarray, out_width: int,
+                      out_height: int) -> np.ndarray:
+    """Pixel-center bilinear resample of an (H, W, 3) image
+    (BilinearResampleRGB32 analog, texture.cpp:406-479).
+
+    The reference version is an unused helper whose indexing is buggy
+    (row stride ``InWidth-1`` and a transposed output index); this is the
+    intended pixel-center semantics — sample at (col+0.5)/out_w scaled
+    into source texel space, lerp the 2x2 neighborhood, clamp edge taps.
+    """
+    src = np.asarray(rgb, np.float32)
+    h, w = src.shape[:2]
+    u = (np.arange(out_width, dtype=np.float32) + 0.5) / out_width * w - 0.5
+    v = (np.arange(out_height, dtype=np.float32) + 0.5) / out_height * h - 0.5
+    u0 = np.clip(np.floor(u).astype(np.int64), 0, w - 1)
+    v0 = np.clip(np.floor(v).astype(np.int64), 0, h - 1)
+    u1 = np.minimum(u0 + 1, w - 1)
+    v1 = np.minimum(v0 + 1, h - 1)
+    du = np.clip(u - u0, 0.0, 1.0)[None, :, None]
+    dv = np.clip(v - v0, 0.0, 1.0)[:, None, None]
+    c00 = src[v0[:, None], u0[None, :]]
+    c10 = src[v0[:, None], u1[None, :]]
+    c01 = src[v1[:, None], u0[None, :]]
+    c11 = src[v1[:, None], u1[None, :]]
+    top = c00 + (c10 - c00) * du
+    bot = c01 + (c11 - c01) * du
+    return top + (bot - top) * dv
+
+
 def env_texel_flat_index(tex, direction: Vec3, cfg, jr, jc):
     """Flat texel index of the deferred env lookup (stochastic or
     nearest sampling only — bilinear needs 4 taps + planar lerp weights).
