@@ -131,7 +131,10 @@ class RenderConfig:
         return dataclasses.replace(self, **kw)
 
 
-# The five BASELINE.json benchmark configs as named presets.
+# The five BASELINE.json benchmark configs as named presets. All run the
+# Pallas megakernel backend where the resolution tiles onto (sublane,
+# 128k-lane) blocks; scalar_320's width (320) has no 128-multiple
+# divisor, so it exercises the XLA backend instead.
 BENCH_CONFIGS = {
     # 1. demofox scalar scene: 320x240, 1 spp, 2 bounces, no env map
     "scalar_320": RenderConfig(
@@ -142,12 +145,14 @@ BENCH_CONFIGS = {
     # 2. simd_tiled scene: 1280x720, 8 bounces, 4 spp
     "simd_tiled_720": RenderConfig(
         width=1280, height=720, spp=4, bounces=8, scene="glass_spheres",
-        env_mode="none", num_frames=64,
+        env_mode="none", num_frames=64, backend="pallas", tile_height=24,
     ),
-    # 3. simt_textured scene: 1920x1080 + HDR env map, 16 spp
+    # 3. simt_textured scene: 1920x1080 + HDR env map, 16 spp (counter
+    # RNG: multi-sample env frames split into per-sample dispatches)
     "textured_1080": RenderConfig(
         width=1920, height=1080, spp=16, bounces=8, scene="glass_spheres",
-        env_mode="equirect", num_frames=16,
+        env_mode="equirect", num_frames=16, backend="pallas", rng="counter",
+        tile_height=24, tile_width=128,
     ),
     # 4. differentiable inverse render (driver in diff/inverse.py)
     "inverse_render": RenderConfig(
@@ -158,7 +163,8 @@ BENCH_CONFIGS = {
     "offline_4k": RenderConfig(
         width=3840, height=2160, spp=1024, bounces=8, scene="glass_spheres",
         env_mode="equirect", rng="counter", num_frames=1,
+        backend="pallas", tile_height=24,
     ),
     # reference default workload (global_preprocessor_flags.h:30-40)
-    "reference_default": RenderConfig(),
+    "reference_default": RenderConfig(backend="pallas", tile_height=24),
 }

@@ -205,7 +205,7 @@ def _is_const(x, value=None):
 
 
 def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
-                 bh: int, bw: int, baked=None):
+                 bh: int, bw: int, baked=None, sample0: int = 0):
     """Build the kernel body for static (cfg, scene sizes, block shape).
 
     ``baked``: optional (quad_np, sph_np, mat_np, cam_np) numpy tables —
@@ -214,6 +214,11 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
     the material fetch collapse to distinct-value select chains and lets
     shading paths that the scene cannot exercise (refraction, Fresnel,
     Beer absorption, roughness lerps) drop out of the kernel entirely.
+
+    ``sample0``: first sample index of this invocation's spp loop —
+    counter-RNG streams are addressable per (pixel, frame, sample), so a
+    high-spp frame can be split into per-sample kernel dispatches (each
+    with its own deferred env miss-state). Only valid with rng="counter".
     """
     height, width = cfg.height, cfg.width
     env_draws = cfg.env_mode != "none" and cfg.env_sampling == "stochastic"
@@ -678,7 +683,7 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
                 # rides in a (bh, bw) scratch ref across bounce segments
                 key1 = jnp.broadcast_to(
                     frame.astype(jnp.uint32) * 26699
-                    + ((s * 40503 + 1) & 0xFFFFFFFF), (bh, bw))
+                    + (((s + sample0) * 40503 + 1) & 0xFFFFFFFF), (bh, bw))
                 rng = _CtrRng(key0, key1, jnp.zeros((bh, bw), jnp.uint32))
                 pos, dir, rng = camera_ray_blk(cam_ref, rng, frag_x, frag_y)
                 # counter streams are per-sample: always safe to exit
@@ -712,13 +717,14 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame):
+def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
+                   sample0: int = 0):
     """Shared pallas_call setup/dispatch; returns the raw output planes."""
     cfg = cfg.validate()
     if cfg.spp > 1 and cfg.env_mode != "none":
         raise NotImplementedError(
-            "pallas backend: spp>1 with an env map not yet supported "
-            "(use frame accumulation or backend='xla')"
+            "pallas backend: multi-sample env frames split per sample "
+            "(render_frame_pallas handles this for rng='counter')"
         )
     bh, bw = cfg.tile_height, cfg.tile_width
     if cfg.height % bh or cfg.width % bw:
@@ -759,7 +765,8 @@ def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame):
         ])
         baked = None
 
-    kernel = _make_kernel(cfg, nq, ns, nm, bh, bw, baked=baked)
+    kernel = _make_kernel(cfg, nq, ns, nm, bh, bw, baked=baked,
+                          sample0=sample0)
     grid = (cfg.height // bh, cfg.width // bw)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
@@ -808,11 +815,34 @@ def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
     render_frame. The deferred env gather + final add runs in XLA after
     the kernel.
 
-    Restriction: with spp > 1 the deferred miss-state is only tracked
-    for the LAST sample, so spp > 1 requires env_mode == "none" for now
-    (frame accumulation covers multi-sample rendering).
+    spp > 1 with an env map: the deferred miss-state is per sample, so
+    the frame splits into one kernel dispatch + env gather PER SAMPLE —
+    addressable counter-RNG streams make each sample independent
+    (rng="counter" required; the wang stream is sequential across the
+    sample loop and cannot split).
     """
-    outs = _pallas_render(scene, camera, texture, cfg, frame)
+    cfg = cfg.validate()
+    if cfg.spp > 1 and cfg.env_mode != "none":
+        if cfg.rng != "counter":
+            raise NotImplementedError(
+                "pallas backend: spp>1 with an env map needs "
+                "rng='counter' (per-sample addressable streams); the "
+                "sequential wang stream cannot split across dispatches")
+        one = cfg.replace(spp=1)
+        acc = None
+        for s in range(cfg.spp):
+            c = _env_combined(scene, camera, texture, one, frame, sample0=s)
+            acc = c if acc is None else Vec3(acc.x + c.x, acc.y + c.y,
+                                             acc.z + c.z)
+        inv = 1.0 / cfg.spp
+        return Vec3(acc.x * inv, acc.y * inv, acc.z * inv)
+    return _env_combined(scene, camera, texture, cfg, frame)
+
+
+def _env_combined(scene, camera, texture, cfg, frame, sample0=0) -> Vec3:
+    """One spp<=1-per-dispatch render + deferred env combine."""
+    outs = _pallas_render(scene, camera, texture, cfg, frame,
+                          sample0=sample0)
     (r, g, b, mdx, mdy, mdz, mtx, mty, mtz, jr, jc, missed) = outs
 
     if cfg.env_mode == "none":

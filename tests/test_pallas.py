@@ -92,11 +92,28 @@ class TestMegakernelParity:
         assert np.mean(np.abs(pa - pb) > 1e-3) < 0.02
 
     def test_spp_env_restriction(self):
+        """wang streams are sequential across the sample loop and cannot
+        split into per-sample dispatches."""
         scene, cam = glass_spheres_scene()
         tex = texture_from_array(gradient_sky(16, 8))
         cfg = _cfg(scene="glass_spheres", env_mode="equirect", spp=2)
         with pytest.raises(NotImplementedError):
             render_frame_pallas(scene, cam, tex, cfg, 0)
+
+    def test_multi_spp_env_counter(self):
+        """spp>1 with an env map splits into per-sample dispatches on
+        addressable counter streams; robust stats vs the oracle (glass
+        lottery flips allowed)."""
+        scene, cam = glass_spheres_scene()
+        tex = texture_from_array(gradient_sky(64, 32))
+        cfg = _cfg(scene="glass_spheres", bounces=3, jitter=True,
+                   env_mode="equirect", env_sampling="stochastic",
+                   env_flip_xz=True, rng="counter", spp=3)
+        a = render_frame(scene, cam, tex, cfg, 1)
+        b = render_frame_pallas(scene, cam, tex, cfg, 1)
+        pa, pb = np.asarray(a.x), np.asarray(b.x)
+        assert abs(pa.mean() - pb.mean()) < 1e-2 * max(pa.mean(), 1e-3)
+        assert np.mean(np.abs(pa - pb) > 1e-3) < 0.02
 
 
 class TestTonemapKernel:
