@@ -132,15 +132,16 @@ class RenderConfig:
 
 
 # The five BASELINE.json benchmark configs as named presets. All run the
-# Pallas megakernel backend where the resolution tiles onto (sublane,
-# 128k-lane) blocks; scalar_320's width (320) has no 128-multiple
-# divisor, so it exercises the XLA backend instead.
+# Pallas megakernel backend (a tile_width equal to the full image width
+# satisfies Mosaic's lane rule even when the width is not a multiple of
+# 128 — scalar_320 uses (24, 320) full-width blocks).
 BENCH_CONFIGS = {
     # 1. demofox scalar scene: 320x240, 1 spp, 2 bounces, no env map
     "scalar_320": RenderConfig(
         width=320, height=240, spp=1, bounces=2, scene="cornell_box",
         env_mode="none", ambient=(0.1, 0.1, 0.1), env_flip_xz=False,
         jitter=True, roulette="off", num_frames=64,
+        backend="pallas", tile_height=24, tile_width=320,
     ),
     # 2. simd_tiled scene: 1280x720, 8 bounces, 4 spp
     "simd_tiled_720": RenderConfig(

@@ -205,7 +205,7 @@ def _is_const(x, value=None):
 
 
 def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
-                 bh: int, bw: int, baked=None, sample0: int = 0):
+                 bh: int, bw: int, baked=None):
     """Build the kernel body for static (cfg, scene sizes, block shape).
 
     ``baked``: optional (quad_np, sph_np, mat_np, cam_np) numpy tables —
@@ -215,10 +215,11 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
     shading paths that the scene cannot exercise (refraction, Fresnel,
     Beer absorption, roughness lerps) drop out of the kernel entirely.
 
-    ``sample0``: first sample index of this invocation's spp loop —
-    counter-RNG streams are addressable per (pixel, frame, sample), so a
-    high-spp frame can be split into per-sample kernel dispatches (each
-    with its own deferred env miss-state). Only valid with rng="counter".
+    The scalar input carries [frame, row0, sample0]: row0 = this
+    shard's first global pixel row; sample0 = the first counter-RNG
+    sample index of this invocation's spp loop (streams are addressable
+    per (pixel, frame, sample), so high-spp frames split into
+    per-sample dispatches and spp shards offset their sample window).
     """
     height, width = cfg.height, cfg.width
     env_draws = cfg.env_mode != "none" and cfg.env_sampling == "stochastic"
@@ -642,7 +643,13 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
          mt_x, mt_y, mt_z, jr_ref, jc_ref, missed_ref, *scratch) = rest
         bi = pl.program_id(0)
         bj = pl.program_id(1)
-        row = bi * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+        # row0: this shard's first GLOBAL pixel row (0 single-device;
+        # axis_index * rows_per_shard under shard_map) — fragCoords and
+        # RNG seeds are global-pixel quantities
+        row0 = frame_ref[1]
+        samp0 = frame_ref[2].astype(jnp.uint32)
+        row = row0 + bi * bh + jax.lax.broadcasted_iota(
+            jnp.int32, (bh, bw), 0)
         col = bj * bw + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
         fy_i = (height - 1) - row
         frag_x = col.astype(jnp.float32)
@@ -683,7 +690,8 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
                 # rides in a (bh, bw) scratch ref across bounce segments
                 key1 = jnp.broadcast_to(
                     frame.astype(jnp.uint32) * 26699
-                    + (((s + sample0) * 40503 + 1) & 0xFFFFFFFF), (bh, bw))
+                    + (jnp.uint32(s) + samp0) * jnp.uint32(40503)
+                    + jnp.uint32(1), (bh, bw))
                 rng = _CtrRng(key0, key1, jnp.zeros((bh, bw), jnp.uint32))
                 pos, dir, rng = camera_ray_blk(cam_ref, rng, frag_x, frag_y)
                 # counter streams are per-sample: always safe to exit
@@ -718,8 +726,13 @@ def _use_interpret() -> bool:
 
 
 def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
-                   sample0: int = 0):
-    """Shared pallas_call setup/dispatch; returns the raw output planes."""
+                   sample0: int = 0, row0=0, local_height=None):
+    """Shared pallas_call setup/dispatch; returns the raw output planes.
+
+    ``row0``/``local_height``: render only rows [row0, row0+local_height)
+    of the global cfg.height image — the shard_map path passes each
+    device's row offset (camera math and RNG seeds stay global-pixel).
+    """
     cfg = cfg.validate()
     if cfg.spp > 1 and cfg.env_mode != "none":
         raise NotImplementedError(
@@ -727,9 +740,10 @@ def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
             "(render_frame_pallas handles this for rng='counter')"
         )
     bh, bw = cfg.tile_height, cfg.tile_width
-    if cfg.height % bh or cfg.width % bw:
+    out_h = cfg.height if local_height is None else local_height
+    if out_h % bh or cfg.width % bw:
         raise ValueError(
-            f"resolution {cfg.width}x{cfg.height} not divisible by "
+            f"render extent {cfg.width}x{out_h} not divisible by "
             f"tile {bw}x{bh}"
         )
 
@@ -765,15 +779,14 @@ def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
         ])
         baked = None
 
-    kernel = _make_kernel(cfg, nq, ns, nm, bh, bw, baked=baked,
-                          sample0=sample0)
-    grid = (cfg.height // bh, cfg.width // bw)
+    kernel = _make_kernel(cfg, nq, ns, nm, bh, bw, baked=baked)
+    grid = (out_h // bh, cfg.width // bw)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
                                       memory_space=pltpu.SMEM)
     blk = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                        memory_space=pltpu.VMEM)
-    plane = jax.ShapeDtypeStruct((cfg.height, cfg.width), jnp.float32)
+    plane = jax.ShapeDtypeStruct((out_h, cfg.width), jnp.float32)
 
     n_rng = 1 if cfg.rng == "wang" else 3
     scratch_shapes = (
@@ -781,19 +794,21 @@ def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
         + [pltpu.VMEM((bh, bw), jnp.uint32)] * n_rng
     )
 
+    scalars = jnp.stack([jnp.asarray(frame, jnp.int32).reshape(()),
+                         jnp.asarray(row0, jnp.int32).reshape(()),
+                         jnp.asarray(sample0, jnp.int32).reshape(())])
     if baked is not None:
-        in_specs = [smem((1,))]
-        args = (jnp.asarray(frame, jnp.int32).reshape(1),)
+        in_specs = [smem((3,))]
+        args = (scalars,)
     else:
         in_specs = [
-            smem((1,)),
+            smem((3,)),
             smem((nq, QUAD_COLS)),
             smem((ns, SPH_COLS)),
             smem((nm, MAT_COLS)),
             smem((8,)),
         ]
-        args = (jnp.asarray(frame, jnp.int32).reshape(1),
-                quad_tbl, sph_tbl, mat_tbl, cam_tbl)
+        args = (scalars, quad_tbl, sph_tbl, mat_tbl, cam_tbl)
 
     out_specs = [blk] * 12
     out_shape = [plane] * 12
@@ -810,7 +825,8 @@ def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
 
 
 def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
-                        frame) -> Vec3:
+                        frame, spp_offset: int = 0, row0=0,
+                        local_height=None) -> Vec3:
     """Pallas-backed frame render; signature-compatible with
     render_frame. The deferred env gather + final add runs in XLA after
     the kernel.
@@ -820,8 +836,17 @@ def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
     addressable counter-RNG streams make each sample independent
     (rng="counter" required; the wang stream is sequential across the
     sample loop and cannot split).
+
+    ``spp_offset``/``row0``/``local_height``: sharding hooks — this
+    shard's first counter-RNG sample index and its global pixel-row
+    window (parallel/shard.py passes axis_index-derived values).
     """
     cfg = cfg.validate()
+    # spp_offset may be a traced axis_index under shard_map; only the
+    # static case is checkable here (shard.py enforces counter RNG for
+    # sharded spp)
+    if isinstance(spp_offset, int) and spp_offset and cfg.rng != "counter":
+        raise ValueError("spp_offset requires rng='counter'")
     if cfg.spp > 1 and cfg.env_mode != "none":
         if cfg.rng != "counter":
             raise NotImplementedError(
@@ -831,18 +856,24 @@ def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
         one = cfg.replace(spp=1)
         acc = None
         for s in range(cfg.spp):
-            c = _env_combined(scene, camera, texture, one, frame, sample0=s)
+            c = _env_combined(scene, camera, texture, one, frame,
+                              sample0=spp_offset + s, row0=row0,
+                              local_height=local_height)
             acc = c if acc is None else Vec3(acc.x + c.x, acc.y + c.y,
                                              acc.z + c.z)
         inv = 1.0 / cfg.spp
         return Vec3(acc.x * inv, acc.y * inv, acc.z * inv)
-    return _env_combined(scene, camera, texture, cfg, frame)
+    return _env_combined(scene, camera, texture, cfg, frame,
+                         sample0=spp_offset, row0=row0,
+                         local_height=local_height)
 
 
-def _env_combined(scene, camera, texture, cfg, frame, sample0=0) -> Vec3:
+def _env_combined(scene, camera, texture, cfg, frame, sample0=0, row0=0,
+                  local_height=None) -> Vec3:
     """One spp<=1-per-dispatch render + deferred env combine."""
     outs = _pallas_render(scene, camera, texture, cfg, frame,
-                          sample0=sample0)
+                          sample0=sample0, row0=row0,
+                          local_height=local_height)
     (r, g, b, mdx, mdy, mdz, mtx, mty, mtz, jr, jc, missed) = outs
 
     if cfg.env_mode == "none":

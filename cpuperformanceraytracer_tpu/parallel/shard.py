@@ -57,6 +57,8 @@ def sharded_render_frame(scene, camera, texture, cfg: RenderConfig, frame,
     camera_spec = _replicated_like(camera)
     texture_spec = _replicated_like(texture) if texture is not None else None
 
+    h_local = cfg.height // n_px
+
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -73,16 +75,32 @@ def sharded_render_frame(scene, camera, texture, cfg: RenderConfig, frame,
         spp_idx = lax.axis_index("spp") if n_spp > 1 else 0
         h_blk, w = fx_blk.shape
 
-        def px(x, y):
-            return render_pixel(
-                scene, camera, texture, cfg, x, y, frame,
-                spp_offset=spp_idx * spp_local, spp_count=spp_local,
+        if cfg.backend == "pallas":
+            # the fast path under SPMD: each shard runs the megakernel on
+            # its global pixel-row window; spp shards offset the
+            # counter-RNG sample window (one partial sum each, psum'd)
+            from cpuperformanceraytracer_tpu.kernels.megakernel import (
+                render_frame_pallas,
             )
 
-        color = jax.vmap(px)(fx_blk.reshape(-1), fy_blk.reshape(-1))
-        planes = jnp.stack(
-            [c.reshape(h_blk, w) for c in (color.x, color.y, color.z)]
-        )
+            row0 = (lax.axis_index("px") * h_local) if n_px > 1 else 0
+            color = render_frame_pallas(
+                scene, camera, texture, cfg.replace(spp=spp_local), frame,
+                spp_offset=spp_idx * spp_local, row0=row0,
+                local_height=h_blk,
+            )
+            planes = jnp.stack([color.x, color.y, color.z])
+        else:
+            def px(x, y):
+                return render_pixel(
+                    scene, camera, texture, cfg, x, y, frame,
+                    spp_offset=spp_idx * spp_local, spp_count=spp_local,
+                )
+
+            color = jax.vmap(px)(fx_blk.reshape(-1), fy_blk.reshape(-1))
+            planes = jnp.stack(
+                [c.reshape(h_blk, w) for c in (color.x, color.y, color.z)]
+            )
         if n_spp > 1:
             planes = lax.psum(planes, "spp") / n_spp
         return planes

@@ -102,3 +102,40 @@ def test_graft_entry_multichip(devices8):
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_pallas_backend_px_sharding_matches(devices8):
+    """The megakernel under shard_map (global row0 offsets) must equal
+    the single-device pallas render."""
+    from cpuperformanceraytracer_tpu.kernels.megakernel import (
+        render_frame_pallas,
+    )
+
+    mesh = make_mesh((4, 1), ("px", "spp"))
+    scene, cam = cornell_box_scene()
+    cfg = _cfg(width=128, height=32, spp=1, backend="pallas",
+               tile_height=8, tile_width=128, rng="wang")
+    ref = render_frame_pallas(scene, cam, None, cfg, 1)
+    sh = sharded_render_frame(scene, cam, None, cfg, 1, mesh)
+    np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ref.x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh.z), np.asarray(ref.z),
+                               atol=1e-5)
+
+
+def test_pallas_backend_px_spp_sharding(devices8):
+    """px x spp mesh on the megakernel: counter sample windows psum to
+    the unsharded multi-sample frame (env map included)."""
+    from cpuperformanceraytracer_tpu.kernels.megakernel import (
+        render_frame_pallas,
+    )
+
+    mesh = make_mesh((4, 2), ("px", "spp"))
+    scene, cam = cornell_box_scene()
+    tex = texture_from_array(gradient_sky(32, 16))
+    cfg = _cfg(width=128, height=32, spp=2, backend="pallas",
+               tile_height=8, tile_width=128, env_mode="equirect")
+    ref = render_frame_pallas(scene, cam, tex, cfg, 1)
+    sh = sharded_render_frame(scene, cam, tex, cfg, 1, mesh)
+    np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ref.x),
+                               atol=1e-5)
