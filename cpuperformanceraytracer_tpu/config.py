@@ -91,6 +91,20 @@ class RenderConfig:
     # (InitializeScene data is static in the binary). Gradients need
     # traced scenes: diff/ always uses backend="xla" which ignores this.
     bake_scene: bool = True
+    # accumulation-buffer layout: "planar" Vec3 of (H, W) planes, or
+    # "packed4" one (H, W, 4) RGBX array. Packed keeps the env gather's
+    # padded row layout through combine + accumulate — unpacking per
+    # frame costs an XLA layout copy (~0.6 ms at 720p on v5e,
+    # scripts/combine_microbench.py); packed unpacks ONCE at image-write
+    # time. "auto" = packed4 on the pallas+env path, planar otherwise.
+    accum_layout: str = "auto"
+
+    @property
+    def packed_accum(self) -> bool:
+        """Resolved accum_layout: True = one (H, W, 4) RGBX buffer."""
+        if self.accum_layout == "auto":
+            return self.backend == "pallas" and self.env_mode != "none"
+        return self.accum_layout == "packed4"
 
     def validate(self) -> "RenderConfig":
         """Raise ValueError on invalid combinations (CheckValidSettings
@@ -123,6 +137,10 @@ class RenderConfig:
             errs.append(f"roulette {self.roulette!r} invalid")
         if self.backend not in ("xla", "pallas"):
             errs.append(f"backend {self.backend!r} invalid")
+        if self.accum_layout not in ("auto", "planar", "packed4"):
+            errs.append(f"accum_layout {self.accum_layout!r} invalid")
+        if self.accum_layout == "packed4" and self.backend != "pallas":
+            errs.append('accum_layout "packed4" requires backend "pallas"')
         if errs:
             raise ValueError("invalid RenderConfig: " + "; ".join(errs))
         return self

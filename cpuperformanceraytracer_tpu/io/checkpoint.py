@@ -21,14 +21,20 @@ from cpuperformanceraytracer_tpu.core.vecmath import Vec3
 _FORMAT_VERSION = 1
 
 
-def save_checkpoint(path: str, accum: Vec3, frame: int, cfg: RenderConfig) -> None:
+def save_checkpoint(path: str, accum, frame: int, cfg: RenderConfig) -> None:
+    """``accum``: either layout (Vec3 planes or packed (H, W, 4)); the
+    on-disk format is always channel planes, so checkpoints stay
+    interchangeable across accum_layout settings."""
+    from cpuperformanceraytracer_tpu.render.frame import accum_to_vec3
+
+    v = accum_to_vec3(accum)
     np.savez_compressed(
         path,
         version=_FORMAT_VERSION,
         frame=int(frame),
-        r=np.asarray(accum.x),
-        g=np.asarray(accum.y),
-        b=np.asarray(accum.z),
+        r=np.asarray(v.x),
+        g=np.asarray(v.y),
+        b=np.asarray(v.z),
         config=json.dumps(dataclasses.asdict(cfg)),
     )
 
@@ -43,13 +49,20 @@ def load_checkpoint(path: str) -> Tuple[Vec3, int, RenderConfig]:
 
 
 def resume_or_fresh(path: Optional[str], cfg: RenderConfig):
-    """(accum, start_frame) — from checkpoint if compatible, else zeros."""
+    """(accum, start_frame) — from checkpoint if compatible, else zeros.
+    The returned buffer is in ``cfg``'s accumulation layout
+    (config.accum_layout), whatever layout wrote the checkpoint."""
     import jax.numpy as jnp
 
     if path:
         try:
             accum, frame, saved_cfg = load_checkpoint(path)
             if (saved_cfg.width, saved_cfg.height) == (cfg.width, cfg.height):
+                if cfg.packed_accum:
+                    packed = np.stack(
+                        [accum.x, accum.y, accum.z,
+                         np.zeros_like(accum.x)], axis=-1)
+                    return jnp.asarray(packed), frame
                 return (
                     Vec3(jnp.asarray(accum.x), jnp.asarray(accum.y),
                          jnp.asarray(accum.z)),
@@ -57,5 +70,6 @@ def resume_or_fresh(path: Optional[str], cfg: RenderConfig):
                 )
         except FileNotFoundError:
             pass
-    z = jnp.zeros((cfg.height, cfg.width), jnp.float32)
-    return Vec3(z, z, z), 0
+    from cpuperformanceraytracer_tpu.render.frame import zero_accum
+
+    return zero_accum(cfg), 0

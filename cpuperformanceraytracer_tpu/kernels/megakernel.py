@@ -826,7 +826,7 @@ def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
 
 def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
                         frame, spp_offset: int = 0, row0=0,
-                        local_height=None) -> Vec3:
+                        local_height=None, packed: bool = False):
     """Pallas-backed frame render; signature-compatible with
     render_frame. The deferred env gather + final add runs in XLA after
     the kernel.
@@ -858,19 +858,28 @@ def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
         for s in range(cfg.spp):
             c = _env_combined(scene, camera, texture, one, frame,
                               sample0=spp_offset + s, row0=row0,
-                              local_height=local_height)
-            acc = c if acc is None else Vec3(acc.x + c.x, acc.y + c.y,
-                                             acc.z + c.z)
+                              local_height=local_height, packed=packed)
+            if acc is None:
+                acc = c
+            elif packed:
+                acc = acc + c
+            else:
+                acc = Vec3(acc.x + c.x, acc.y + c.y, acc.z + c.z)
         inv = 1.0 / cfg.spp
-        return Vec3(acc.x * inv, acc.y * inv, acc.z * inv)
+        return acc * inv if packed else Vec3(
+            acc.x * inv, acc.y * inv, acc.z * inv)
     return _env_combined(scene, camera, texture, cfg, frame,
                          sample0=spp_offset, row0=row0,
-                         local_height=local_height)
+                         local_height=local_height, packed=packed)
 
 
 def _env_combined(scene, camera, texture, cfg, frame, sample0=0, row0=0,
-                  local_height=None) -> Vec3:
-    """One spp<=1-per-dispatch render + deferred env combine."""
+                  local_height=None, packed=False):
+    """One spp<=1-per-dispatch render + deferred env combine.
+
+    ``packed``: return one (H, W, 4) RGBX array instead of Vec3 planes —
+    the env gather's packed texels are consumed in their own layout,
+    skipping the per-frame channel-unpack copy (config.accum_layout)."""
     outs = _pallas_render(scene, camera, texture, cfg, frame,
                           sample0=sample0, row0=row0,
                           local_height=local_height)
@@ -878,10 +887,23 @@ def _env_combined(scene, camera, texture, cfg, frame, sample0=0, row0=0,
 
     if cfg.env_mode == "none":
         # ambient already added in-kernel (constant, no gather needed)
+        if packed:
+            return jnp.stack([r, g, b, jnp.zeros_like(r)], axis=-1)
         return Vec3(r, g, b)
 
     # a never-missed pixel has miss_throughput == 0, so no mask is
     # needed: env * 0 == 0 (env is finite for the default miss state)
     miss_dir = Vec3(mdx, mdy, mdz)
+    if packed:
+        from cpuperformanceraytracer_tpu.texture.texture import (
+            sample_environment_deferred_packed,
+        )
+
+        env4 = sample_environment_deferred_packed(texture, miss_dir, cfg,
+                                                  jr, jc)
+        zero = jnp.zeros_like(r)
+        rgb4 = jnp.stack([r, g, b, zero], axis=-1)
+        thr4 = jnp.stack([mtx, mty, mtz, zero], axis=-1)
+        return rgb4 + env4 * thr4
     env = sample_environment_deferred(texture, miss_dir, cfg, jr, jc)
     return Vec3(r + env.x * mtx, g + env.y * mty, b + env.z * mtz)

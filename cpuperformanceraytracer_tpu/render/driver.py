@@ -52,6 +52,10 @@ class OfflineRenderer:
         shard_map over (px rows, spp samples), the multi-chip path for the
         4K/1024spp offline config (BASELINE.json config 5)."""
         self.cfg = cfg.validate()
+        if mesh is not None:
+            # the sharded frame fn reduces into Vec3 planes (out_specs
+            # stack the channels); packed accumulation is single-device
+            self.cfg = self.cfg.replace(accum_layout="planar")
         if scene is None or camera is None:
             scene, camera = scene_by_name(cfg.scene)
         self.scene = scene

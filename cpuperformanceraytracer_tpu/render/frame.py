@@ -48,12 +48,18 @@ def render_frame(scene, camera, texture, cfg: RenderConfig, frame) -> Vec3:
     )
 
 
-def accumulate_frame(accum: Vec3, frame_color: Vec3, frame) -> Vec3:
+def accumulate_frame(accum, frame_color, frame):
     """Progressive running mean over frames: accum_n = accum + (x-accum)/(n+1)
     with frame 0-based (RenderTile blend, v4 :1199-1241 — the reference's
     1-based iFrame halves its very first frame into a zero buffer; here
-    frame 0 stores the first frame exactly)."""
+    frame 0 stores the first frame exactly).
+
+    Works on either accumulation layout (config.accum_layout): Vec3 of
+    (H, W) planes, or one packed (H, W, 4) RGBX array — the per-channel
+    math is identical, so the two layouts stay bit-equal."""
     blend = 1.0 / (jnp.float32(frame) + 1.0)
+    if not isinstance(accum, Vec3):
+        return accum + (frame_color - accum) * blend
     return Vec3(
         accum.x + (frame_color.x - accum.x) * blend,
         accum.y + (frame_color.y - accum.y) * blend,
@@ -61,11 +67,20 @@ def accumulate_frame(accum: Vec3, frame_color: Vec3, frame) -> Vec3:
     )
 
 
-def postprocess_image(accum: Vec3, exposure: float = 1.0) -> jnp.ndarray:
-    """f32 accumulation -> display u8 (H, W, 3): exposure, ACES, sRGB,
-    round (OutputToScreen/OutputToFile, v4 :1260-1331, without the
-    BGRA/RGBA packing games — callers pick channel order at IO time)."""
-    return to_u8(postprocess_color(accum, exposure))
+def accum_to_vec3(accum) -> Vec3:
+    """Either accumulation layout -> Vec3 planes (the packed layout pays
+    its one unpack copy here, at image-write time)."""
+    if isinstance(accum, Vec3):
+        return accum
+    return Vec3(accum[..., 0], accum[..., 1], accum[..., 2])
+
+
+def postprocess_image(accum, exposure: float = 1.0) -> jnp.ndarray:
+    """f32 accumulation (either layout) -> display u8 (H, W, 3):
+    exposure, ACES, sRGB, round (OutputToScreen/OutputToFile,
+    v4 :1260-1331, without the BGRA/RGBA packing games — callers pick
+    channel order at IO time)."""
+    return to_u8(postprocess_color(accum_to_vec3(accum), exposure))
 
 
 def _make_render(cfg: RenderConfig, backend: Optional[str],
@@ -79,10 +94,12 @@ def _make_render(cfg: RenderConfig, backend: Optional[str],
             render_frame_pallas,
         )
 
+        packed = cfg.packed_accum
         if cfg.bake_scene and static_scene is not None:
             return lambda s, c, t, f: render_frame_pallas(
-                static_scene, static_camera, t, cfg, f)
-        return lambda s, c, t, f: render_frame_pallas(s, c, t, cfg, f)
+                static_scene, static_camera, t, cfg, f, packed=packed)
+        return lambda s, c, t, f: render_frame_pallas(s, c, t, cfg, f,
+                                                      packed=packed)
     return lambda s, c, t, f: render_frame(s, c, t, cfg, f)
 
 
@@ -132,7 +149,10 @@ def make_multi_frame_fn(cfg: RenderConfig, frames_per_dispatch: int,
     return jax.jit(step_k, donate_argnums=(4,))
 
 
-def zero_accum(cfg: RenderConfig) -> Vec3:
+def zero_accum(cfg: RenderConfig):
+    """Fresh accumulation buffer in the config's layout (packed_accum)."""
+    if cfg.packed_accum:
+        return jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
     # three distinct buffers: the planes are donated to the frame step,
     # and donating one shared buffer three times is an error
     shape = (cfg.height, cfg.width)

@@ -84,10 +84,21 @@ def _gather(tex: Texture, flat_idx) -> Vec3:
     # avoids the unpack copy but XLA then pays 1.9 ms/frame in a
     # slice_reduce fusion — net worse than the 0.6 ms copy (profiled on
     # v5e; scripts/profile_frame.py).
+    texel = _gather_packed(tex, flat_idx)
+    return Vec3(texel[..., 0], texel[..., 1], texel[..., 2])
+
+
+def _gather_packed(tex: Texture, flat_idx) -> jnp.ndarray:
+    """Row-gather returning the raw packed (..., 4) RGBX texels.
+
+    Slicing the packed gather output into channel planes costs an XLA
+    layout copy (~0.6 ms/frame at 720p on v5e, docs/PERFORMANCE.md), so
+    the frame path keeps the env radiance packed all the way through
+    accumulation (scripts/combine_microbench.py) and only unpacks at
+    image-write time. The pad channel is always 0."""
     rgb = jnp.stack(
         [tex.r, tex.g, tex.b, jnp.zeros_like(tex.r)], axis=-1)
-    texel = jnp.take(rgb, flat_idx, axis=0)
-    return Vec3(texel[..., 0], texel[..., 1], texel[..., 2])
+    return jnp.take(rgb, flat_idx, axis=0)
 
 
 def texel_fetch(tex: Texture, row, col) -> Vec3:
@@ -268,6 +279,44 @@ def sample_environment_deferred(tex, direction: Vec3, cfg, jr, jc) -> Vec3:
     if cfg.env_sampling == "bilinear":
         return sample_bilinear(tex, uv)
     return sample_nearest(tex, uv)
+
+
+def sample_environment_deferred_packed(tex, direction: Vec3, cfg, jr, jc):
+    """Packed (..., 4) RGBX variant of :func:`sample_environment_deferred`
+    — identical taps and math, but the gathered texels stay in the
+    gather's packed row layout (pad channel 0) so the caller can combine
+    and accumulate without the per-frame channel-unpack copy."""
+    if cfg.env_mode == "equirect":
+        d = (Vec3(-direction.x, direction.y, -direction.z)
+             if cfg.env_flip_xz else direction)
+        uv = equirect_uv(d)
+    else:
+        uv = cubemap_uv(direction)
+    if cfg.env_sampling == "stochastic":
+        return _gather_packed(tex, stochastic_flat_index(tex, uv, jr, jc))
+    if cfg.env_sampling == "bilinear":
+        row = uv.y * (tex.height - 1)
+        col = uv.x * (tex.width - 1)
+        r0, r1 = jnp.floor(row), jnp.ceil(row)
+        c0, c1 = jnp.floor(col), jnp.ceil(col)
+        dv = (row - r0)[..., None]
+        du = (col - c0)[..., None]
+
+        def tap(r, c):
+            r = jnp.clip(r.astype(jnp.int32), 0, tex.height - 1)
+            c = jnp.clip(c.astype(jnp.int32), 0, tex.width - 1)
+            return _gather_packed(tex, r * tex.width + c)
+
+        c00, c10 = tap(r0, c0), tap(r0, c1)
+        c01, c11 = tap(r1, c0), tap(r1, c1)
+        top = c00 + (c10 - c00) * du
+        bot = c01 + (c11 - c01) * du
+        return top + (bot - top) * dv
+    row = jnp.clip((uv.y * (tex.height - 1)).astype(jnp.int32),
+                   0, tex.height - 1)
+    col = jnp.clip((uv.x * (tex.width - 1)).astype(jnp.int32),
+                   0, tex.width - 1)
+    return _gather_packed(tex, row * tex.width + col)
 
 
 def bilinear_resample(rgb: np.ndarray, out_width: int,
