@@ -138,6 +138,78 @@ def cmd_bench(a) -> int:
     return 0
 
 
+def cmd_bench_grad(a) -> int:
+    """Timed fwd+bwd (value_and_grad of the L2 pixel loss) at a stated
+    workload — the backward-pass throughput metric BASELINE.md reports.
+
+    Gradients flow to the full differentiable surface (sphere centers,
+    albedos, env texels) through the XLA integrator with path-replay
+    rematerialization (diff/path_replay.py: counter RNG makes each
+    bounce segment exactly recomputable in the backward sweep instead of
+    storing ~20 live planes per segment). The loop being differentiated
+    is the reference bounce loop, demofox_path_tracing_optimization_v4
+    .cpp:722-910.
+    """
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from cpuperformanceraytracer_tpu.diff.grad import (
+        image_loss,
+        render_for_params,
+    )
+    from cpuperformanceraytracer_tpu.scene.presets import scene_by_name
+    from cpuperformanceraytracer_tpu.utils.timing import device_sync
+
+    cfg = _cfg_from_args(a).replace(
+        rng="counter", backend="xla", remat_bounces=True)
+    scene, cam = scene_by_name(cfg.scene)
+    tex = _texture_from_args(a)
+    target = render_for_params({}, scene, cam, tex, cfg, 0)
+
+    albedo = jnp.stack([scene.materials.albedo.x, scene.materials.albedo.y,
+                        scene.materials.albedo.z], -1)
+    centers = jnp.stack([scene.spheres.center.x, scene.spheres.center.y,
+                         scene.spheres.center.z], -1)
+    params = {"albedo": albedo + 0.05, "sphere_centers": centers + 0.1}
+    if tex is not None:
+        params["env_rgb"] = jnp.stack([tex.r, tex.g, tex.b], -1)
+
+    def loss_fn(p, frame):
+        return image_loss(
+            render_for_params(p, scene, cam, tex, cfg, frame), target)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    loss, grads = vg(params, 0)
+    device_sync(loss)
+
+    steps = a.steps
+    # chain the steps through a carried gradient sum so the timed loop
+    # is one dependent chain, joined by a single device_sync
+    carry = grads
+    t0 = time.perf_counter()
+    for i in range(steps):
+        loss, grads = vg(params, i + 1)
+        carry = jax.tree.map(lambda c, g: c + g, carry, grads)
+    device_sync(loss)
+    ms = (time.perf_counter() - t0) / steps * 1e3
+    rays = cfg.width * cfg.height * cfg.spp
+    print(json.dumps({
+        "metric": "fwd_bwd_ms_per_step",
+        "config": f"{cfg.width}x{cfg.height} spp{cfg.spp} "
+                  f"b{cfg.bounces} env={cfg.env_mode}",
+        "ms_per_step": round(ms, 3),
+        "fwd_bwd_Mrays_per_s": round(rays / ms / 1e3, 2),
+        "param_leaves": sorted(params),
+        "loss": float(loss),
+        "grads_finite": bool(all(
+            bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(carry))),
+    }))
+    return 0
+
+
 def cmd_inverse(a) -> int:
     import jax.numpy as jnp
     import numpy as np
@@ -196,6 +268,12 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--lr", type=float, default=0.01)
     p.set_defaults(fn=cmd_inverse)
+
+    p = sub.add_parser("bench-grad",
+                       help="timed fwd+bwd (value_and_grad) throughput")
+    _add_common(p)
+    p.add_argument("--steps", type=int, default=8)
+    p.set_defaults(fn=cmd_bench_grad)
 
     a = ap.parse_args(argv)
     return a.fn(a)

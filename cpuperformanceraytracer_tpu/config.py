@@ -79,6 +79,10 @@ class RenderConfig:
     # dead — the block-level analog of the reference's all_set(shouldBreak)
     # early-out (v4 :731,781). Identical output; False only for A/B timing.
     early_exit: bool = True
+    # segments run per early-exit check: higher = fewer VMEM scratch
+    # round-trips of the ~23-plane carried state, coarser exit (up to
+    # gran-1 extra dead segments per block). Identical output either way.
+    exit_granularity: int = 1
     # progressive frames rolled into ONE device dispatch (0 = auto: 16
     # when accumulating offline, 1 otherwise). Dispatch overhead on the
     # tunneled backend is comparable to a whole 720p frame, so the
@@ -91,19 +95,18 @@ class RenderConfig:
     # (InitializeScene data is static in the binary). Gradients need
     # traced scenes: diff/ always uses backend="xla" which ignores this.
     bake_scene: bool = True
-    # accumulation-buffer layout: "planar" Vec3 of (H, W) planes, or
-    # "packed4" one (H, W, 4) RGBX array. Packed keeps the env gather's
-    # padded row layout through combine + accumulate — unpacking per
-    # frame costs an XLA layout copy (~0.6 ms at 720p on v5e,
-    # scripts/combine_microbench.py); packed unpacks ONCE at image-write
-    # time. "auto" = packed4 on the pallas+env path, planar otherwise.
+    # accumulation-buffer layout: "planar" Vec3 of (H, W) planes (the
+    # default — the fused combine+accumulate Pallas kernel consumes the
+    # env gather's packed rows directly via in-register lane shuffles,
+    # kernels/combine.py, so no layout trick is needed), or "packed4"
+    # one (H, W, 4) RGBX array (kept as an explicit option for the
+    # non-fused XLA combine path; profiling showed XLA still relayouts
+    # the gather output under it, so it no longer wins anything).
     accum_layout: str = "auto"
 
     @property
     def packed_accum(self) -> bool:
         """Resolved accum_layout: True = one (H, W, 4) RGBX buffer."""
-        if self.accum_layout == "auto":
-            return self.backend == "pallas" and self.env_mode != "none"
         return self.accum_layout == "packed4"
 
     def validate(self) -> "RenderConfig":
@@ -137,6 +140,8 @@ class RenderConfig:
             errs.append(f"roulette {self.roulette!r} invalid")
         if self.backend not in ("xla", "pallas"):
             errs.append(f"backend {self.backend!r} invalid")
+        if self.exit_granularity < 1:
+            errs.append("exit_granularity must be >= 1")
         if self.accum_layout not in ("auto", "planar", "packed4"):
             errs.append(f"accum_layout {self.accum_layout!r} invalid")
         if self.accum_layout == "packed4" and self.backend != "pallas":
@@ -158,7 +163,7 @@ BENCH_CONFIGS = {
     "scalar_320": RenderConfig(
         width=320, height=240, spp=1, bounces=2, scene="cornell_box",
         env_mode="none", ambient=(0.1, 0.1, 0.1), env_flip_xz=False,
-        jitter=True, roulette="off", num_frames=64,
+        jitter=True, roulette="off", num_frames=512,
         backend="pallas", tile_height=24, tile_width=320,
     ),
     # 2. simd_tiled scene: 1280x720, 8 bounces, 4 spp

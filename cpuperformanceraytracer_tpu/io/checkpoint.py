@@ -20,6 +20,28 @@ from cpuperformanceraytracer_tpu.core.vecmath import Vec3
 
 _FORMAT_VERSION = 1
 
+# Config fields that determine the accumulated image. Resuming under a
+# config that differs in ANY of these would silently average two
+# different renders together; resume_or_fresh starts fresh instead.
+# Excluded on purpose: backend/tile/bake/early_exit/accum_layout/
+# frames_per_dispatch (parity-tested execution strategy, not image
+# content), num_frames/warmup_frames (loop length), exposure (applied at
+# postprocess time, not baked into the accumulation).
+_IMAGE_FIELDS = (
+    "width", "height", "spp", "bounces", "scene", "env_mode",
+    "env_sampling", "ambient", "env_flip_xz", "unit_vector_sampler",
+    "jitter", "rng", "roulette", "accumulate",
+)
+
+
+def image_fingerprint(cfg: RenderConfig) -> tuple:
+    """The image-content identity of a config: two configs with equal
+    fingerprints accumulate bit-identical progressive frames."""
+    return tuple(
+        (f, tuple(v) if isinstance(v, (list, tuple)) else v)
+        for f, v in ((f, getattr(cfg, f)) for f in _IMAGE_FIELDS)
+    )
+
 
 def save_checkpoint(path: str, accum, frame: int, cfg: RenderConfig) -> None:
     """``accum``: either layout (Vec3 planes or packed (H, W, 4)); the
@@ -50,14 +72,19 @@ def load_checkpoint(path: str) -> Tuple[Vec3, int, RenderConfig]:
 
 def resume_or_fresh(path: Optional[str], cfg: RenderConfig):
     """(accum, start_frame) — from checkpoint if compatible, else zeros.
-    The returned buffer is in ``cfg``'s accumulation layout
-    (config.accum_layout), whatever layout wrote the checkpoint."""
+
+    Compatible = the saved config's image fingerprint (every field that
+    shapes the accumulated image — resolution, spp, scene, rng, env,
+    roulette, ...) matches ``cfg``'s; a mismatch in any of them starts
+    fresh rather than corrupting the running mean. The returned buffer is
+    in ``cfg``'s accumulation layout (config.accum_layout), whatever
+    layout wrote the checkpoint."""
     import jax.numpy as jnp
 
     if path:
         try:
             accum, frame, saved_cfg = load_checkpoint(path)
-            if (saved_cfg.width, saved_cfg.height) == (cfg.width, cfg.height):
+            if image_fingerprint(saved_cfg) == image_fingerprint(cfg):
                 if cfg.packed_accum:
                     packed = np.stack(
                         [accum.x, accum.y, accum.z,

@@ -1,6 +1,15 @@
 """MXU-backed environment-texture gather kernel.
 
-Problem: XLA's TPU gather lowers to a serial dynamic-slice loop
+**STATUS: kept NEGATIVE RESULT — not used by any production path.**
+This kernel predates the (N, 4) padded-row gather discovery
+(texture._gather: 16-byte power-of-two rows hit the hardware gather fast
+path, ~1.8-3.6 ns/query, scripts/gather_microbench.py), which beats this
+MXU approach by >5x at the 131k-texel env table (docs/PERFORMANCE.md,
+"Negative results"). It stays in the tree as a measured design artifact
+(one-hot matmuls are O(queries x texels); the serial gather engine wins)
+and keeps its parity tests so the claim remains verifiable.
+
+Original problem statement (now solved differently): XLA's TPU gather lowers to a serial dynamic-slice loop
 (~40 ns/texel — 37 ms for one 1280x720 deferred env lookup), and Mosaic's
 ``tpu.dynamic_gather`` only shuffles within identically-shaped tiles, so
 neither gives a fast arbitrary texture fetch.

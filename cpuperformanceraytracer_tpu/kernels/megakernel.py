@@ -619,12 +619,25 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
 
             state = bounce_body(state)  # segment 0 always runs
             write_state(state)
-            for _ in range(n_segments - 1):
+            # Group remaining segments: each pl.when runs ``gran``
+            # segments between one scratch read and one write, halving
+            # (gran=2) the VMEM round-trips of the carried state at the
+            # cost of at most gran-1 extra dead segments per block (a
+            # dead segment is an identity on all carried state except
+            # the RNG, which nothing later consumes on this path).
+            gran = max(1, int(getattr(cfg, "exit_granularity", 1)))
+            left = n_segments - 1
+            while left > 0:
+                step = min(gran, left)
+                left -= step
                 any_alive = jnp.max(scratch[_ALIVE_SLOT][:]) > 0.0
 
                 @pl.when(any_alive)
-                def _():
-                    write_state(bounce_body(read_state()))
+                def _(step=step):
+                    s = read_state()
+                    for _ in range(step):
+                        s = bounce_body(s)
+                    write_state(s)
 
             state = read_state()
 
@@ -871,6 +884,74 @@ def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
     return _env_combined(scene, camera, texture, cfg, frame,
                          sample0=spp_offset, row0=row0,
                          local_height=local_height, packed=packed)
+
+
+def supports_fused_combine(cfg: RenderConfig) -> bool:
+    """True when render_accumulate_pallas can fuse the deferred env
+    combine + progressive accumulate into the lane-shuffle Pallas kernel
+    (kernels/combine.py) instead of paying XLA's gather-output relayout
+    copy (~0.63 ms/frame at 720p, docs/PERFORMANCE.md)."""
+    return (
+        cfg.backend == "pallas"
+        and cfg.env_mode != "none"
+        and cfg.env_sampling in ("stochastic", "nearest")
+        and cfg.width % 128 == 0
+        and not cfg.packed_accum
+    )
+
+
+def render_accumulate_pallas(scene, camera, texture, cfg: RenderConfig,
+                             frame, accum, packed_table=None):
+    """One progressive frame, fully fused: megakernel -> env-index math
+    -> one batched texel gather -> combine+accumulate Pallas kernel
+    (in-place on the donated planar accum planes).
+
+    ``packed_table``: optional precomputed (H*W, 4) RGBX gather table
+    (texture.packed_texel_table) — pass it when calling in a loop so the
+    table pack is hoisted out of the per-frame body.
+
+    spp > 1 (counter RNG): every sample's miss planes come from
+    per-sample kernel dispatches, stacked, and resolved with ONE batched
+    gather + one combine kernel for the whole frame.
+    """
+    from cpuperformanceraytracer_tpu.kernels.combine import combine_accumulate
+    from cpuperformanceraytracer_tpu.texture.texture import (
+        env_texel_flat_index,
+        packed_texel_table,
+    )
+
+    cfg = cfg.validate()
+    if packed_table is None:
+        packed_table = packed_texel_table(texture)
+    blend = 1.0 / (jnp.float32(frame) + 1.0)
+
+    if cfg.spp == 1:
+        outs = _pallas_render(scene, camera, texture, cfg, frame)
+        (r, g, b, mdx, mdy, mdz, mtx, mty, mtz, jr, jc, missed) = outs
+        idx = env_texel_flat_index(texture, Vec3(mdx, mdy, mdz), cfg, jr, jc)
+        e4 = jnp.take(packed_table, idx.reshape(-1), axis=0)
+        return combine_accumulate(e4, Vec3(r, g, b), Vec3(mtx, mty, mtz),
+                                  accum, blend)
+
+    if cfg.rng != "counter":
+        raise NotImplementedError(
+            "fused combine with spp>1 needs rng='counter' (the wang "
+            "stream is sequential across the sample loop)")
+    one = cfg.replace(spp=1)
+    rs, gs, bs, txs, tys, tzs, idxs = [], [], [], [], [], [], []
+    for s in range(cfg.spp):
+        outs = _pallas_render(scene, camera, texture, one, frame, sample0=s)
+        (r, g, b, mdx, mdy, mdz, mtx, mty, mtz, jr, jc, missed) = outs
+        rs.append(r); gs.append(g); bs.append(b)
+        txs.append(mtx); tys.append(mty); tzs.append(mtz)
+        idxs.append(env_texel_flat_index(
+            texture, Vec3(mdx, mdy, mdz), cfg, jr, jc).reshape(-1))
+    inv = 1.0 / cfg.spp
+    rgb = Vec3(sum(rs) * inv, sum(gs) * inv, sum(bs) * inv)
+    thr = Vec3(jnp.stack(txs), jnp.stack(tys), jnp.stack(tzs))
+    e4 = jnp.take(packed_table, jnp.stack(idxs).reshape(-1), axis=0)
+    e4 = e4.reshape(cfg.spp, cfg.height * cfg.width, 4)
+    return combine_accumulate(e4, rgb, thr, accum, blend)
 
 
 def _env_combined(scene, camera, texture, cfg, frame, sample0=0, row0=0,

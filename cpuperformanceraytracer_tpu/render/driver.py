@@ -135,7 +135,17 @@ class OfflineRenderer:
         # checkpoint cadence.
         k = cfg.frames_per_dispatch
         if not k:
-            k = 1 if self.mesh is not None else 16
+            if self.mesh is not None:
+                k = 1
+            else:
+                # size-aware auto K: target ~15M pixel-samples per
+                # dispatch (16 frames at the 720p/1spp reference
+                # workload) so small frames amortize the same fixed
+                # dispatch+sync overhead as large ones — a 320x240 frame
+                # is ~0.1 ms of device work against ~1 ms of dispatch,
+                # so it needs K in the hundreds, not 16.
+                work = cfg.width * cfg.height * cfg.spp
+                k = max(1, min(512, round(15_000_000 / work)))
         if checkpoint_every:
             k = math.gcd(k, checkpoint_every)
         k = max(1, min(k, cfg.num_frames))

@@ -103,6 +103,30 @@ def _make_render(cfg: RenderConfig, backend: Optional[str],
     return lambda s, c, t, f: render_frame(s, c, t, cfg, f)
 
 
+def _fused_step(cfg: RenderConfig, static_scene, static_camera):
+    """The fused pallas env path: megakernel -> batched gather ->
+    combine+accumulate kernel (no gather-output relayout; see
+    kernels/combine.py). Returns None when the config can't use it."""
+    from cpuperformanceraytracer_tpu.kernels.megakernel import (
+        render_accumulate_pallas,
+        supports_fused_combine,
+    )
+
+    if not supports_fused_combine(cfg):
+        return None
+    if cfg.spp > 1 and cfg.rng != "counter":
+        return None
+
+    def step(scene, camera, texture, frame, accum, packed_table=None):
+        if cfg.bake_scene and static_scene is not None:
+            scene, camera = static_scene, static_camera
+        return render_accumulate_pallas(scene, camera, texture, cfg,
+                                        frame, accum,
+                                        packed_table=packed_table)
+
+    return step
+
+
 def make_frame_fn(cfg: RenderConfig, backend: Optional[str] = None,
                   scene=None, camera=None):
     """Build the jitted progressive-frame step:
@@ -114,8 +138,13 @@ def make_frame_fn(cfg: RenderConfig, backend: Optional[str] = None,
     cfg.bake_scene specialize the Pallas kernel on them (the jitted fn
     then ignores its scene/camera arguments).
     """
+    if backend:
+        cfg = cfg.replace(backend=backend)
     cfg = cfg.validate()
-    render = _make_render(cfg, backend, scene, camera)
+    fused = _fused_step(cfg, scene, camera)
+    if fused is not None:
+        return jax.jit(fused, donate_argnums=(4,))
+    render = _make_render(cfg, None, scene, camera)
 
     def step(scene, camera, texture, frame, accum):
         color = render(scene, camera, texture, frame)
@@ -136,6 +165,25 @@ def make_multi_frame_fn(cfg: RenderConfig, frames_per_dispatch: int,
     offline loop with no per-frame host round-trips
     (Application.cpp:426-438). ``scene``/``camera``: as make_frame_fn."""
     cfg = cfg.validate()
+    fused = _fused_step(cfg, scene, camera)
+    if fused is not None:
+        from cpuperformanceraytracer_tpu.texture.texture import (
+            packed_texel_table,
+        )
+
+        def step_k(scene, camera, texture, frame0, accum):
+            # hoist the (H*W, 4) gather-table pack out of the frame loop
+            # (it is loop-invariant; in-loop it costs an XLA copy/frame)
+            table = packed_texel_table(texture)
+
+            def body(i, acc):
+                return fused(scene, camera, texture, frame0 + i, acc,
+                             packed_table=table)
+
+            return jax.lax.fori_loop(0, frames_per_dispatch, body, accum)
+
+        return jax.jit(step_k, donate_argnums=(4,))
+
     render = _make_render(cfg, None, scene, camera)
 
     def step_k(scene, camera, texture, frame0, accum):

@@ -60,6 +60,28 @@ def test_resume_or_fresh(tmp_path):
     assert frame3 == 5
 
 
+def test_resume_rejects_image_affecting_mismatch(tmp_path):
+    """Any config field that shapes the accumulated image (not just
+    resolution) must invalidate a checkpoint — resuming a different
+    scene/spp/rng/roulette would silently corrupt the running mean."""
+    cfg = RenderConfig(width=8, height=6)
+    acc, _ = resume_or_fresh(None, cfg)
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, acc, 5, cfg)
+    for bad in (cfg.replace(spp=4), cfg.replace(bounces=2),
+                cfg.replace(scene="cornell_box"), cfg.replace(rng="counter"),
+                cfg.replace(roulette="off"), cfg.replace(env_mode="none"),
+                cfg.replace(jitter=False)):
+        _, frame = resume_or_fresh(p, bad)
+        assert frame == 0, f"should reject {bad}"
+    # execution-strategy fields must NOT invalidate (same image)
+    for ok in (cfg.replace(backend="pallas", tile_width=8, tile_height=6),
+               cfg.replace(num_frames=3), cfg.replace(exposure=2.0),
+               cfg.replace(frames_per_dispatch=4)):
+        _, frame = resume_or_fresh(p, ok)
+        assert frame == 5, f"should accept {ok}"
+
+
 def test_native_codec_matches_python(tmp_path):
     """The C++ RGBE/BMP codec (native/rgbe.cpp) must agree with the pure
     python decoders; skipped only if the shared lib cannot be built."""

@@ -116,6 +116,69 @@ class TestMegakernelParity:
         assert np.mean(np.abs(pa - pb) > 1e-3) < 0.02
 
 
+class TestFusedCombine:
+    """kernels/combine.py: the lane-shuffle deinterleave + fused
+    combine/accumulate must match the unfused pallas path bit-tightly
+    (same kernel, same gather — only the combine arithmetic refactors)."""
+
+    def _run(self, cfg, frames=3):
+        from cpuperformanceraytracer_tpu.kernels.megakernel import (
+            render_accumulate_pallas,
+            supports_fused_combine,
+        )
+        from cpuperformanceraytracer_tpu.render.frame import (
+            accumulate_frame,
+            zero_accum,
+        )
+
+        assert supports_fused_combine(cfg)
+        scene, cam = glass_spheres_scene()
+        tex = texture_from_array(gradient_sky(64, 32))
+        a_old = zero_accum(cfg)
+        a_new = zero_accum(cfg)
+        for f in range(frames):
+            color = render_frame_pallas(scene, cam, tex, cfg, f)
+            a_old = accumulate_frame(a_old, color, f)
+            a_new = render_accumulate_pallas(scene, cam, tex, cfg, f, a_new)
+        for c_new, c_old in zip(a_new, a_old):
+            np.testing.assert_allclose(np.asarray(c_new), np.asarray(c_old),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_fused_equals_unfused_wang_spp1(self):
+        self._run(_cfg(scene="glass_spheres", bounces=3, jitter=True,
+                       env_mode="equirect", env_sampling="stochastic",
+                       env_flip_xz=True, backend="pallas"))
+
+    def test_fused_equals_unfused_counter_spp3(self):
+        self._run(_cfg(scene="glass_spheres", bounces=2, jitter=True,
+                       env_mode="equirect", env_sampling="stochastic",
+                       env_flip_xz=True, rng="counter", spp=3,
+                       backend="pallas"), frames=2)
+
+    def test_deinterleave_exact(self):
+        from cpuperformanceraytracer_tpu.kernels.combine import (
+            combine_accumulate,
+        )
+
+        rs = np.random.RandomState(0)
+        h, w = 16, 256
+        e4 = rs.rand(h * w, 4).astype(np.float32)
+        rgb = Vec3(*(jnp.asarray(rs.rand(h, w).astype(np.float32))
+                     for _ in range(3)))
+        thr = Vec3(*(jnp.asarray(rs.rand(h, w).astype(np.float32))
+                     for _ in range(3)))
+        acc = Vec3(*(jnp.asarray(rs.rand(h, w).astype(np.float32))
+                     for _ in range(3)))
+        out = combine_accumulate(jnp.asarray(e4), rgb, thr, acc, 0.5)
+        e_img = e4.reshape(h, w, 4)
+        for c, (r_, t_, a_, o_) in enumerate(zip(rgb, thr, acc, out)):
+            want = np.asarray(a_) + (np.asarray(r_)
+                                     + e_img[:, :, c] * np.asarray(t_)
+                                     - np.asarray(a_)) * 0.5
+            np.testing.assert_allclose(np.asarray(o_), want,
+                                       rtol=1e-6, atol=1e-7)
+
+
 class TestTonemapKernel:
     def test_matches_xla_postprocess(self):
         rs = np.random.RandomState(0)
