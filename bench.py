@@ -43,7 +43,10 @@ def main() -> None:
         env_sampling="stochastic", rng="wang",
         num_frames=frames, warmup_frames=2,
         backend="pallas",  # the TPU megakernel path (parity-tested vs xla)
-        tile_height=24,    # best of the v5e block sweep (scripts/perf_ablate)
+        # best of the v5e round-3 sweep (scripts/perf_sweep_r3): (16,128)
+        # blocks + one early-exit check after segment 0 (sky blocks die
+        # there; later checks cost more scratch traffic than they save)
+        tile_height=16, tile_width=128, exit_granularity=8,
     )
     if backend:
         cfg = cfg.replace(backend=backend)

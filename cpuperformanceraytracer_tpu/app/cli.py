@@ -62,7 +62,7 @@ def _cfg_from_args(a) -> RenderConfig:
         num_frames=a.frames, warmup_frames=a.warmup, scene=a.scene,
         env_mode=env_mode, env_sampling=a.env_sampling, rng=a.rng,
         roulette=a.roulette, backend=a.backend, exposure=a.exposure,
-    ).validate()
+    ).with_auto_tiles().validate()
 
 
 def _texture_from_args(a):
@@ -100,17 +100,41 @@ def cmd_render(a) -> int:
 
 
 def cmd_watch(a) -> int:
-    """Progressive render; rewrite the output every --interval frames."""
+    """Progressive render with a live view: rewrite the output file every
+    --interval frames and (with --live) draw the current accumulation in
+    the terminal with a per-frame stats line — the TPU-native analog of
+    the reference's interactive window + title-bar frame times
+    (Application.cpp:196-379, 308-335)."""
+    import time
+
     from cpuperformanceraytracer_tpu.render.driver import OfflineRenderer
+    from cpuperformanceraytracer_tpu.utils.timing import device_sync
 
     cfg = _cfg_from_args(a)
     r = OfflineRenderer(cfg, texture=_texture_from_args(a), silent=a.silent)
-    for i in range(cfg.num_frames):
-        r.step()
-        if (i + 1) % a.interval == 0 or i == cfg.num_frames - 1:
-            r.write_image(a.output)
-            if not a.silent:
-                print(f"frame {i + 1}/{cfg.num_frames} -> {a.output}")
+    rays = cfg.width * cfg.height * cfg.spp
+    ema_ms = None
+    first = True
+    for i in range(0, cfg.num_frames, a.interval):
+        todo = min(a.interval, cfg.num_frames - i)
+        t0 = time.perf_counter()
+        r.step_k(todo)
+        device_sync(r.state.accum)
+        ms = (time.perf_counter() - t0) / todo * 1e3
+        # 30-frame-style rolling mean, as the reference's title bar
+        ema_ms = ms if ema_ms is None else ema_ms + (ms - ema_ms) * 0.3
+        done = i + todo
+        r.write_image(a.output)
+        stats = (f"frame {done}/{cfg.num_frames} | {ema_ms:7.2f} ms/frame | "
+                 f"{1e3 / ema_ms:6.1f} fps | "
+                 f"{rays / ema_ms / 1e3:7.1f} Mrays/s | {a.output}")
+        if a.live:
+            from cpuperformanceraytracer_tpu.utils.term_view import live_view
+
+            print(live_view(r.image_u8(), stats, first=first), flush=True)
+            first = False
+        elif not a.silent:
+            print(stats, flush=True)
     return 0
 
 
@@ -256,6 +280,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("watch", help="progressive render with live file updates")
     _add_common(p)
     p.add_argument("--interval", type=int, default=10)
+    p.add_argument("--live", action="store_true",
+                   help="draw the frame in the terminal (ANSI truecolor)")
     p.set_defaults(fn=cmd_watch)
 
     p = sub.add_parser("bench", help="run named benchmark configs")

@@ -153,6 +153,25 @@ class RenderConfig:
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 
+    def with_auto_tiles(self) -> "RenderConfig":
+        """Pick a Pallas block shape that divides this resolution: the
+        largest lane-friendly tile_width in (256, 128, width) and the
+        best tile_height in (24, 16, 8, ...) that divide exactly. Used
+        by the CLI so arbitrary --width/--height work out of the box;
+        explicit tile settings that already divide are kept."""
+        tw, th = self.tile_width, self.tile_height
+        if self.width % tw:
+            for cand in (256, 128, self.width):
+                if self.width % cand == 0:
+                    tw = cand
+                    break
+        if self.height % th:
+            for cand in (24, 16, 8, 4, 2, 1):
+                if self.height % cand == 0:
+                    th = cand
+                    break
+        return self.replace(tile_width=tw, tile_height=th)
+
 
 # The five BASELINE.json benchmark configs as named presets. All run the
 # Pallas megakernel backend (a tile_width equal to the full image width
@@ -183,10 +202,14 @@ BENCH_CONFIGS = {
         width=160, height=120, spp=4, bounces=3, scene="glass_spheres",
         env_mode="none", rng="counter", num_frames=1,
     ),
-    # 5. offline high-spp: 3840x2160, 1024 spp progressive, sharded
+    # 5. offline high-spp: 3840x2160, 1024 samples/pixel accumulated
+    # PROGRESSIVELY (1 spp per frame over 1024 frames — the reference's
+    # progressive protocol, Application.cpp:420-452 + ACCUMULATE_FRAMES,
+    # which also gives checkpoint/resume boundaries every K frames);
+    # sharded over the mesh when one is supplied
     "offline_4k": RenderConfig(
-        width=3840, height=2160, spp=1024, bounces=8, scene="glass_spheres",
-        env_mode="equirect", rng="counter", num_frames=1,
+        width=3840, height=2160, spp=1, bounces=8, scene="glass_spheres",
+        env_mode="equirect", rng="counter", num_frames=1024,
         backend="pallas", tile_height=24,
     ),
     # reference default workload (global_preprocessor_flags.h:30-40)

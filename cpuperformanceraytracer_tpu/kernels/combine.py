@@ -1,6 +1,18 @@
 """Fused env-combine + progressive-accumulate Pallas kernel.
 
-Problem this solves (measured, v5e): the deferred env gather returns
+**STATUS: kept MEASURED ALTERNATIVE — not used by the production path.**
+The kernel itself runs at ~0.19 ms/frame (720p, v5e) and does eliminate
+XLA's gather-output relayout copy, but feeding it requires densifying
+the (P, 4) gather output into a (H, W*4) lane-interleaved view, and that
+densify costs ~1.2 ms/frame — more than the 0.63 ms relayout it avoids
+(scripts/combine_paths_bench.py). The production path instead makes the
+env gather CHANNEL-MAJOR (texture._gather: operand (4, N) with
+offset_dims=(0,)), which writes planar planes directly and measures
+cheapest end-to-end. This module stays as the measured record of the
+lane-shuffle deinterleave technique (Mosaic dynamic_gather on 128-lane
+tiles), with parity tests keeping the claim verifiable.
+
+Original problem statement (measured, v5e): the deferred env gather returns
 packed (P, 4) RGBX texel rows in the gather's channel-minor layout, but
 the megakernel's radiance/throughput planes and the progressive
 accumulation buffer are planar (H, W) — XLA reconciles the two by

@@ -887,56 +887,47 @@ def render_frame_pallas(scene, camera, texture, cfg: RenderConfig,
 
 
 def supports_fused_combine(cfg: RenderConfig) -> bool:
-    """True when render_accumulate_pallas can fuse the deferred env
-    combine + progressive accumulate into the lane-shuffle Pallas kernel
-    (kernels/combine.py) instead of paying XLA's gather-output relayout
-    copy (~0.63 ms/frame at 720p, docs/PERFORMANCE.md)."""
+    """True when render_accumulate_pallas applies: the pallas+env frame
+    step that keeps the deferred env gather CHANNEL-MAJOR (texture._gather
+    writes (4, ...) planar planes directly — the cheapest measured
+    consumption path, scripts/combine_paths_bench.py) and, for spp > 1,
+    batches every sample's miss lookups into ONE gather per frame."""
     return (
         cfg.backend == "pallas"
         and cfg.env_mode != "none"
-        and cfg.env_sampling in ("stochastic", "nearest")
-        and cfg.width % 128 == 0
-        and not cfg.packed_accum
+        and (cfg.spp == 1 or cfg.rng == "counter")
     )
 
 
 def render_accumulate_pallas(scene, camera, texture, cfg: RenderConfig,
                              frame, accum, packed_table=None):
-    """One progressive frame, fully fused: megakernel -> env-index math
-    -> one batched texel gather -> combine+accumulate Pallas kernel
-    (in-place on the donated planar accum planes).
+    """One progressive frame: megakernel -> deferred env resolve ->
+    progressive accumulate onto the donated planar accum planes.
 
-    ``packed_table``: optional precomputed (H*W, 4) RGBX gather table
-    (texture.packed_texel_table) — pass it when calling in a loop so the
-    table pack is hoisted out of the per-frame body.
+    spp == 1 delegates to render_frame_pallas (whose deferred env lookup
+    is already the planar channel-major gather) + accumulate. spp > 1
+    (counter RNG) stacks every sample's miss state and resolves it with
+    ONE batched (4, spp, H, W) gather + one elementwise combine instead
+    of a per-sample gather/add chain.
 
-    spp > 1 (counter RNG): every sample's miss planes come from
-    per-sample kernel dispatches, stacked, and resolved with ONE batched
-    gather + one combine kernel for the whole frame.
+    ``packed_table`` is accepted for call-site compatibility (the table
+    stack is hoisted by XLA loop-invariant code motion either way).
     """
-    from cpuperformanceraytracer_tpu.kernels.combine import combine_accumulate
+    from cpuperformanceraytracer_tpu.render.frame import accumulate_frame
     from cpuperformanceraytracer_tpu.texture.texture import (
+        _gather,
         env_texel_flat_index,
-        packed_texel_table,
     )
 
     cfg = cfg.validate()
-    if packed_table is None:
-        packed_table = packed_texel_table(texture)
-    blend = 1.0 / (jnp.float32(frame) + 1.0)
-
-    if cfg.spp == 1:
-        outs = _pallas_render(scene, camera, texture, cfg, frame)
-        (r, g, b, mdx, mdy, mdz, mtx, mty, mtz, jr, jc, missed) = outs
-        idx = env_texel_flat_index(texture, Vec3(mdx, mdy, mdz), cfg, jr, jc)
-        e4 = jnp.take(packed_table, idx.reshape(-1), axis=0)
-        return combine_accumulate(e4, Vec3(r, g, b), Vec3(mtx, mty, mtz),
-                                  accum, blend)
+    if cfg.spp == 1 or cfg.env_mode == "none":
+        color = render_frame_pallas(scene, camera, texture, cfg, frame)
+        return accumulate_frame(accum, color, frame)
 
     if cfg.rng != "counter":
         raise NotImplementedError(
-            "fused combine with spp>1 needs rng='counter' (the wang "
-            "stream is sequential across the sample loop)")
+            "batched multi-sample env frames need rng='counter' (the "
+            "wang stream is sequential across the sample loop)")
     one = cfg.replace(spp=1)
     rs, gs, bs, txs, tys, tzs, idxs = [], [], [], [], [], [], []
     for s in range(cfg.spp):
@@ -945,13 +936,15 @@ def render_accumulate_pallas(scene, camera, texture, cfg: RenderConfig,
         rs.append(r); gs.append(g); bs.append(b)
         txs.append(mtx); tys.append(mty); tzs.append(mtz)
         idxs.append(env_texel_flat_index(
-            texture, Vec3(mdx, mdy, mdz), cfg, jr, jc).reshape(-1))
+            texture, Vec3(mdx, mdy, mdz), cfg, jr, jc))
     inv = 1.0 / cfg.spp
-    rgb = Vec3(sum(rs) * inv, sum(gs) * inv, sum(bs) * inv)
-    thr = Vec3(jnp.stack(txs), jnp.stack(tys), jnp.stack(tzs))
-    e4 = jnp.take(packed_table, jnp.stack(idxs).reshape(-1), axis=0)
-    e4 = e4.reshape(cfg.spp, cfg.height * cfg.width, 4)
-    return combine_accumulate(e4, rgb, thr, accum, blend)
+    env = _gather(texture, jnp.stack(idxs))  # Vec3 of (spp, H, W) planes
+    color = Vec3(
+        (sum(rs) + sum(e * t for e, t in zip(env.x, txs))) * inv,
+        (sum(gs) + sum(e * t for e, t in zip(env.y, tys))) * inv,
+        (sum(bs) + sum(e * t for e, t in zip(env.z, tzs))) * inv,
+    )
+    return accumulate_frame(accum, color, frame)
 
 
 def _env_combined(scene, camera, texture, cfg, frame, sample0=0, row0=0,

@@ -47,23 +47,17 @@ def sharded_render_frame(scene, camera, texture, cfg: RenderConfig, frame,
         raise ValueError('spp sharding requires rng="counter"')
     spp_local = cfg.spp // n_spp
 
-    # (H, W) fragCoord grids, rows sharded
-    cols = jnp.arange(cfg.width, dtype=jnp.float32)
-    rows = jnp.arange(cfg.height, dtype=jnp.float32)
-    frag_y = (cfg.height - 1) - rows
-    fy, fx = jnp.meshgrid(frag_y, cols, indexing="ij")
-
     scene_spec = _replicated_like(scene)
     camera_spec = _replicated_like(camera)
     texture_spec = _replicated_like(texture) if texture is not None else None
 
     h_local = cfg.height // n_px
+    w = cfg.width
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("px", None), P("px", None), scene_spec, camera_spec,
-                  texture_spec, P()),
+        in_specs=(scene_spec, camera_spec, texture_spec, P()),
         out_specs=P(None, "px", None),  # (3, H, W), rows sharded
         # constants created inside the body (loop-carry zeros) are
         # device-invariant while loop outputs vary per shard; the vma
@@ -71,9 +65,14 @@ def sharded_render_frame(scene, camera, texture, cfg: RenderConfig, frame,
         # is the only cross-shard communication and is explicit)
         check_vma=False,
     )
-    def shard_fn(fx_blk, fy_blk, scene, camera, texture, frame):
+    def shard_fn(scene, camera, texture, frame):
         spp_idx = lax.axis_index("spp") if n_spp > 1 else 0
-        h_blk, w = fx_blk.shape
+        # each shard derives its own global pixel-row window from its
+        # mesh coordinate — no host-built fragCoord arrays cross the
+        # host/device boundary, which also makes this callable under
+        # multi-process jax.distributed where host-local arrays cannot
+        # feed a global shard_map directly
+        row0 = (lax.axis_index("px") * h_local) if n_px > 1 else 0
 
         if cfg.backend == "pallas":
             # the fast path under SPMD: each shard runs the megakernel on
@@ -83,14 +82,18 @@ def sharded_render_frame(scene, camera, texture, cfg: RenderConfig, frame,
                 render_frame_pallas,
             )
 
-            row0 = (lax.axis_index("px") * h_local) if n_px > 1 else 0
             color = render_frame_pallas(
                 scene, camera, texture, cfg.replace(spp=spp_local), frame,
                 spp_offset=spp_idx * spp_local, row0=row0,
-                local_height=h_blk,
+                local_height=h_local,
             )
             planes = jnp.stack([color.x, color.y, color.z])
         else:
+            cols = jnp.arange(w, dtype=jnp.float32)
+            rows = row0 + jnp.arange(h_local)
+            frag_y = jnp.float32(cfg.height - 1) - rows.astype(jnp.float32)
+            fy_blk, fx_blk = jnp.meshgrid(frag_y, cols, indexing="ij")
+
             def px(x, y):
                 return render_pixel(
                     scene, camera, texture, cfg, x, y, frame,
@@ -99,14 +102,13 @@ def sharded_render_frame(scene, camera, texture, cfg: RenderConfig, frame,
 
             color = jax.vmap(px)(fx_blk.reshape(-1), fy_blk.reshape(-1))
             planes = jnp.stack(
-                [c.reshape(h_blk, w) for c in (color.x, color.y, color.z)]
+                [c.reshape(h_local, w) for c in (color.x, color.y, color.z)]
             )
         if n_spp > 1:
             planes = lax.psum(planes, "spp") / n_spp
         return planes
 
-    planes = shard_fn(fx, fy, scene, camera, texture,
-                      jnp.asarray(frame, jnp.uint32))
+    planes = shard_fn(scene, camera, texture, jnp.asarray(frame, jnp.uint32))
     return Vec3(planes[0], planes[1], planes[2])
 
 
@@ -121,3 +123,25 @@ def make_sharded_frame_fn(cfg: RenderConfig, mesh: Mesh):
         return accumulate_frame(accum, color, frame)
 
     return step
+
+
+def make_sharded_multi_frame_fn(cfg: RenderConfig, mesh: Mesh,
+                                frames_per_dispatch: int):
+    """Jitted K-frame sharded step — the mesh analog of
+    render.frame.make_multi_frame_fn: K progressive frames ride one
+    dispatch via lax.fori_loop (the shard_map is traced once inside the
+    loop body), so the multi-chip offline path pays per-dispatch overhead
+    once per K frames instead of per frame."""
+    cfg = cfg.validate()
+
+    @partial(jax.jit, donate_argnums=(4,), static_argnames=())
+    def step_k(scene, camera, texture, frame0, accum):
+        def body(i, acc):
+            frame = frame0 + i
+            color = sharded_render_frame(scene, camera, texture, cfg,
+                                         frame, mesh)
+            return accumulate_frame(acc, color, frame)
+
+        return jax.lax.fori_loop(0, frames_per_dispatch, body, accum)
+
+    return step_k

@@ -68,12 +68,11 @@ class OfflineRenderer:
             )
 
             self.frame_fn = make_sharded_frame_fn(self.cfg, mesh)
-            self._multi_fn = None
         else:
             self.frame_fn = make_frame_fn(self.cfg, scene=self.scene,
                                           camera=self.camera)
-            self._multi_fn = None  # built lazily per dispatch width
-            self._multi_k = 0
+        self._multi_fn = None  # built lazily per dispatch width
+        self._multi_k = 0
         self.mesh = mesh
         self.state = RenderState(accum=zero_accum(self.cfg), frame=0)
 
@@ -91,19 +90,28 @@ class OfflineRenderer:
 
     def step_k(self, k: int) -> None:
         """``k`` progressive frames in ONE device dispatch (fused via
-        lax.fori_loop; see make_multi_frame_fn). Falls back to per-frame
-        steps under a mesh or for k == 1."""
-        if k == 1 or self.mesh is not None:
+        lax.fori_loop; see make_multi_frame_fn and, under a mesh,
+        make_sharded_multi_frame_fn). Falls back to per-frame steps only
+        for k == 1."""
+        if k == 1:
             for _ in range(k):
                 self.step()
             return
         if self._multi_fn is None or self._multi_k != k:
-            from cpuperformanceraytracer_tpu.render.frame import (
-                make_multi_frame_fn,
-            )
+            if self.mesh is not None:
+                from cpuperformanceraytracer_tpu.parallel.shard import (
+                    make_sharded_multi_frame_fn,
+                )
 
-            self._multi_fn = make_multi_frame_fn(
-                self.cfg, k, scene=self.scene, camera=self.camera)
+                self._multi_fn = make_sharded_multi_frame_fn(
+                    self.cfg, self.mesh, k)
+            else:
+                from cpuperformanceraytracer_tpu.render.frame import (
+                    make_multi_frame_fn,
+                )
+
+                self._multi_fn = make_multi_frame_fn(
+                    self.cfg, k, scene=self.scene, camera=self.camera)
             self._multi_k = k
         self.state.accum = self._multi_fn(
             self.scene, self.camera, self.texture, self.state.frame,
@@ -135,17 +143,21 @@ class OfflineRenderer:
         # checkpoint cadence.
         k = cfg.frames_per_dispatch
         if not k:
-            if self.mesh is not None:
-                k = 1
-            else:
-                # size-aware auto K: target ~15M pixel-samples per
-                # dispatch (16 frames at the 720p/1spp reference
-                # workload) so small frames amortize the same fixed
-                # dispatch+sync overhead as large ones — a 320x240 frame
-                # is ~0.1 ms of device work against ~1 ms of dispatch,
-                # so it needs K in the hundreds, not 16.
-                work = cfg.width * cfg.height * cfg.spp
-                k = max(1, min(512, round(15_000_000 / work)))
+            # size-aware auto K: target ~15M pixel-samples per dispatch
+            # (16 frames at the 720p/1spp reference workload) so small
+            # frames amortize the same fixed dispatch+sync overhead as
+            # large ones — a 320x240 frame is ~0.1 ms of device work
+            # against ~1 ms of dispatch, so it needs K in the hundreds,
+            # not 16. Under a mesh the same fusion applies per shard
+            # (make_sharded_multi_frame_fn).
+            work = cfg.width * cfg.height * cfg.spp
+            k = max(1, min(512, round(15_000_000 / work)))
+            # prefer the largest divisor of num_frames <= k: a non-divisor
+            # K leaves a num_frames % K tail of slow per-frame dispatches
+            divs = [d for d in range(1, min(k, cfg.num_frames) + 1)
+                    if cfg.num_frames % d == 0]
+            if divs and divs[-1] >= max(1, k // 4):
+                k = divs[-1]
         if checkpoint_every:
             k = math.gcd(k, checkpoint_every)
         k = max(1, min(k, cfg.num_frames))

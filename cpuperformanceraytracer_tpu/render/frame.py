@@ -104,9 +104,9 @@ def _make_render(cfg: RenderConfig, backend: Optional[str],
 
 
 def _fused_step(cfg: RenderConfig, static_scene, static_camera):
-    """The fused pallas env path: megakernel -> batched gather ->
-    combine+accumulate kernel (no gather-output relayout; see
-    kernels/combine.py). Returns None when the config can't use it."""
+    """The pallas+env frame step (megakernel -> planar channel-major env
+    gather -> accumulate; batched across samples for spp > 1). Returns
+    None when the config can't use it."""
     from cpuperformanceraytracer_tpu.kernels.megakernel import (
         render_accumulate_pallas,
         supports_fused_combine,
@@ -114,15 +114,12 @@ def _fused_step(cfg: RenderConfig, static_scene, static_camera):
 
     if not supports_fused_combine(cfg):
         return None
-    if cfg.spp > 1 and cfg.rng != "counter":
-        return None
 
-    def step(scene, camera, texture, frame, accum, packed_table=None):
+    def step(scene, camera, texture, frame, accum):
         if cfg.bake_scene and static_scene is not None:
             scene, camera = static_scene, static_camera
         return render_accumulate_pallas(scene, camera, texture, cfg,
-                                        frame, accum,
-                                        packed_table=packed_table)
+                                        frame, accum)
 
     return step
 
@@ -167,18 +164,10 @@ def make_multi_frame_fn(cfg: RenderConfig, frames_per_dispatch: int,
     cfg = cfg.validate()
     fused = _fused_step(cfg, scene, camera)
     if fused is not None:
-        from cpuperformanceraytracer_tpu.texture.texture import (
-            packed_texel_table,
-        )
 
         def step_k(scene, camera, texture, frame0, accum):
-            # hoist the (H*W, 4) gather-table pack out of the frame loop
-            # (it is loop-invariant; in-loop it costs an XLA copy/frame)
-            table = packed_texel_table(texture)
-
             def body(i, acc):
-                return fused(scene, camera, texture, frame0 + i, acc,
-                             packed_table=table)
+                return fused(scene, camera, texture, frame0 + i, acc)
 
             return jax.lax.fori_loop(0, frames_per_dispatch, body, accum)
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,21 +72,32 @@ def load_cubemap_texture(paths) -> Texture:
 
 
 def _gather(tex: Texture, flat_idx) -> Vec3:
-    """One row-gather of (N, 4) padded texel rows.
+    """One channel-major gather: (4, *idx.shape) planar texel planes.
 
     On TPU, XLA lowers a gather to a per-QUERY loop, so cost scales with
-    queries, not elements — and the row stride decides the rate. Measured
-    for 921600 scattered queries into a 256x512 map (v5e):
-    (N,3) rows 47.6 ns/query, 3x channel-plane takes 70.1, (N,4) rows
-    3.6 ns/query — a 16-byte power-of-two row is the fast path, worth a
-    33% larger table. The (H*W,4) stack is loop-invariant and hoisted by
-    XLA, so it costs one cheap pack per frame (scripts/gather_microbench.py)."""
-    # NOTE: a channel-major lax.gather ((4, N) output via offset_dims=(0,))
-    # avoids the unpack copy but XLA then pays 1.9 ms/frame in a
-    # slice_reduce fusion — net worse than the 0.6 ms copy (profiled on
-    # v5e; scripts/profile_frame.py).
-    texel = _gather_packed(tex, flat_idx)
-    return Vec3(texel[..., 0], texel[..., 1], texel[..., 2])
+    queries, not elements — and the row stride decides the rate: 16-byte
+    power-of-two rows are the fast path ((N,3) rows are 26x slower,
+    scripts/gather_microbench.py). The remaining question is the OUTPUT
+    layout: a (N, 4) row-gather output is channel-minor and every
+    consumer wants planar, so XLA inserts a ~0.6 ms/frame retile at 720p
+    no matter how it is consumed (relayout copy, dense reshape for a
+    lane-shuffle kernel, or slice fusions — all measured within 0.1 ms
+    of each other, scripts/combine_paths_bench.py). Leading with the
+    offset dim (operand (4, N), offset_dims=(0,)) makes the gather WRITE
+    planar (4, ...) planes directly — the transpose rides inside the
+    gather op itself and measures cheapest end-to-end, and the per-plane
+    slices below are free views."""
+    tt = jnp.stack(
+        [tex.r, tex.g, tex.b, jnp.zeros_like(tex.r)], axis=0)  # (4, N)
+    out = jax.lax.gather(
+        tt, flat_idx[..., None],
+        dimension_numbers=jax.lax.GatherDimensionNumbers(
+            offset_dims=(0,), collapsed_slice_dims=(1,),
+            start_index_map=(1,)),
+        slice_sizes=(4, 1),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    return Vec3(out[0], out[1], out[2])
 
 
 def _gather_packed(tex: Texture, flat_idx) -> jnp.ndarray:

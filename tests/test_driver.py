@@ -102,6 +102,42 @@ def test_pallas_backend_driver():
     assert np.isfinite(np.asarray(r.state.accum.x)).all()
 
 
+def test_term_view_ansi():
+    """Live-view rendering: truecolor half-block frame of the right
+    geometry, mean-pooled from the image."""
+    from cpuperformanceraytracer_tpu.utils.term_view import ansi_frame, live_view
+
+    img = np.zeros((48, 96, 3), np.uint8)
+    img[:24] = (255, 0, 0)   # top half red
+    img[24:] = (0, 0, 255)   # bottom half blue
+    s = ansi_frame(img, cols=32, rows=8)
+    lines = s.split("\n")
+    assert len(lines) == 8
+    assert lines[0].count("▀") == 32
+    assert "38;2;255;0;0" in lines[0] and "48;2;255;0;0" in lines[0]
+    assert "38;2;0;0;255" in lines[-1]
+    v = live_view(img, "frame 1/2 | stats", cols=16, rows=4, first=True)
+    assert v.startswith("\x1b[2J\x1b[H") and v.rstrip().endswith("\x1b[K")
+    assert "frame 1/2" in v
+
+
+def test_cli_watch_live(tmp_path, capsys):
+    """watch --live draws ANSI frames + a stats line and still writes
+    the output file each interval."""
+    from cpuperformanceraytracer_tpu.app.cli import main
+
+    out = str(tmp_path / "live.bmp")
+    rc = main(["watch", "--scene", "cornell_box", "--width", "32",
+               "--height", "24", "--bounces", "2", "--frames", "4",
+               "--warmup", "0", "--roulette", "off", "--interval", "2",
+               "--live", "-o", out])
+    assert rc == 0
+    assert os.path.exists(out)
+    cap = capsys.readouterr().out
+    assert "▀" in cap and "ms/frame" in cap and "fps" in cap
+    assert "frame 4/4" in cap
+
+
 def test_cli_render(tmp_path):
     out = str(tmp_path / "cli.png")
     env = dict(os.environ)

@@ -1,4 +1,5 @@
-"""Scaling harness, sharded driver, debug visualization, profiling report."""
+"""Scaling harness, sharded driver, debug visualization, profiling report,
+multi-process jax.distributed bring-up."""
 
 import numpy as np
 
@@ -54,6 +55,56 @@ def test_debug_vis_shapes():
     assert b.shape == (48, 64, 3)
     o = overlay(np.zeros((48, 64, 3), np.uint8), s)
     assert o.shape == (48, 64, 3) and o.max() > 0
+
+
+def test_two_process_distributed_render():
+    """Exercise the REAL multi-host bring-up path: two localhost CPU
+    processes through parallel.mesh.init_distributed form one 8-device
+    global mesh and render a shard_map'd frame (the work_queue.cpp:17-66
+    replacement story, finally multi-process). Each worker prints the
+    frame's global mean radiance; both must agree with a single-process
+    render of the same config to float tolerance."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    import jax
+
+    from cpuperformanceraytracer_tpu.scene.presets import scene_by_name
+
+    # the reference value, computed in-process (single "host")
+    cfg = _cfg(width=64, height=48, spp=2, bounces=2, jitter=True,
+               rng="counter")
+    from cpuperformanceraytracer_tpu.render.frame import render_frame
+
+    scene, cam = scene_by_name(cfg.scene)
+    color = render_frame(scene, cam, None, cfg, 3)
+    want = float((color.x.mean() + color.y.mean() + color.z.mean()) / 3.0)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(worker))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-2000:]}"
+        line = [ln for ln in out.splitlines()
+                if ln.startswith(f"WORKER {pid} MEAN")]
+        assert line, f"worker {pid} printed no MEAN:\n{out[-2000:]}"
+        got = float(line[0].split()[-1])
+        assert abs(got - want) < 1e-5, (pid, got, want)
 
 
 def test_throughput_report():

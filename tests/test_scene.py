@@ -102,3 +102,17 @@ def test_quad_precompute_barycentric_identity():
 def test_builder_empty_scene_padding():
     s = SceneBuilder().build()
     assert s.quads.count == 1 and s.spheres.count == 1 and s.materials.count == 1
+
+
+def test_with_auto_tiles():
+    from cpuperformanceraytracer_tpu.config import RenderConfig
+
+    c = RenderConfig(width=640, height=360, backend="pallas").with_auto_tiles()
+    assert c.width % c.tile_width == 0 and c.height % c.tile_height == 0
+    assert c.tile_width == 128
+    c = RenderConfig(width=320, height=240, backend="pallas",
+                     tile_width=320, tile_height=24).with_auto_tiles()
+    assert (c.tile_width, c.tile_height) == (320, 24)  # kept when divisible
+    c = RenderConfig(width=100, height=77, backend="pallas").with_auto_tiles()
+    assert c.width % c.tile_width == 0 and c.height % c.tile_height == 0
+    c.validate()

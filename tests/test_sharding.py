@@ -72,6 +72,27 @@ def test_sharded_frame_fn_accumulates(devices8):
     np.testing.assert_allclose(np.asarray(acc.x), np.asarray(ref_acc.x), atol=1e-5)
 
 
+def test_sharded_multi_frame_fn_matches_per_frame(devices8):
+    """K frames fused in ONE sharded dispatch (lax.fori_loop around the
+    shard_map) must equal K per-frame sharded steps — the multi-chip
+    offline path no longer falls back to per-frame dispatch."""
+    from cpuperformanceraytracer_tpu.parallel.shard import (
+        make_sharded_multi_frame_fn,
+    )
+
+    mesh = default_mesh(spp_shards=2)
+    scene, cam = cornell_box_scene()
+    cfg = _cfg()
+    per = make_sharded_frame_fn(cfg, mesh)
+    acc_a = zero_accum(cfg)
+    for f in range(4):
+        acc_a = per(scene, cam, None, f, acc_a)
+    fused = make_sharded_multi_frame_fn(cfg, mesh, 4)
+    acc_b = fused(scene, cam, None, 0, zero_accum(cfg))
+    np.testing.assert_allclose(np.asarray(acc_b.x), np.asarray(acc_a.x),
+                               atol=1e-6)
+
+
 def test_validation_errors(devices8):
     mesh = default_mesh(spp_shards=2)
     scene, cam = cornell_box_scene()
