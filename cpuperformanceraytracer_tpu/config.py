@@ -95,19 +95,37 @@ class RenderConfig:
     # (InitializeScene data is static in the binary). Gradients need
     # traced scenes: diff/ always uses backend="xla" which ignores this.
     bake_scene: bool = True
-    # accumulation-buffer layout: "planar" Vec3 of (H, W) planes (the
-    # default — the fused combine+accumulate Pallas kernel consumes the
-    # env gather's packed rows directly via in-register lane shuffles,
-    # kernels/combine.py, so no layout trick is needed), or "packed4"
-    # one (H, W, 4) RGBX array (kept as an explicit option for the
-    # non-fused XLA combine path; profiling showed XLA still relayouts
-    # the gather output under it, so it no longer wins anything).
+    # accumulation-buffer layout:
+    #   "flat128"  Vec3 of (H*W/128, 128) planes — sublane = 128-pixel
+    #              group, lane = pixel. The pallas+env fast path: the
+    #              deferred env gather keeps its 128-lane batch MINOR
+    #              ((..., 4, 128) output, 2x sublane padding) instead of
+    #              the narrow (N, 4) row output that XLA pads 4->128 —
+    #              a 32x HBM expansion whose write+reread cost ~1.2
+    #              ms/frame at 720p and OOMs at 16-sample 1080p
+    #              (texture._gather_sublane).
+    #   "planar"   Vec3 of (H, W) planes (oracle/mesh layout).
+    #   "packed4"  one (H, W, 4) RGBX array (kept for A/B).
+    #   "auto"     flat128 on the single-device pallas+env path when
+    #              width % 128 == 0, planar otherwise.
     accum_layout: str = "auto"
 
     @property
     def packed_accum(self) -> bool:
         """Resolved accum_layout: True = one (H, W, 4) RGBX buffer."""
         return self.accum_layout == "packed4"
+
+    @property
+    def flat_accum(self) -> bool:
+        """Resolved accum_layout: True = flat128 (H*W/128, 128) planes."""
+        if self.accum_layout == "flat128":
+            return True
+        if self.accum_layout != "auto":
+            return False
+        return (self.backend == "pallas" and self.env_mode != "none"
+                and self.env_sampling in ("stochastic", "nearest")
+                and self.width % 128 == 0
+                and (self.spp == 1 or self.rng == "counter"))
 
     def validate(self) -> "RenderConfig":
         """Raise ValueError on invalid combinations (CheckValidSettings
@@ -142,7 +160,12 @@ class RenderConfig:
             errs.append(f"backend {self.backend!r} invalid")
         if self.exit_granularity < 1:
             errs.append("exit_granularity must be >= 1")
-        if self.accum_layout not in ("auto", "planar", "packed4"):
+        if self.accum_layout == "flat128" and self.width % 128:
+            errs.append('accum_layout "flat128" requires width % 128 == 0')
+        if self.accum_layout == "flat128" and self.env_sampling == "bilinear":
+            errs.append('accum_layout "flat128" needs a single-tap env '
+                        'sampling mode (stochastic/nearest)')
+        if self.accum_layout not in ("auto", "planar", "packed4", "flat128"):
             errs.append(f"accum_layout {self.accum_layout!r} invalid")
         if self.accum_layout == "packed4" and self.backend != "pallas":
             errs.append('accum_layout "packed4" requires backend "pallas"')
@@ -183,19 +206,21 @@ BENCH_CONFIGS = {
         width=320, height=240, spp=1, bounces=2, scene="cornell_box",
         env_mode="none", ambient=(0.1, 0.1, 0.1), env_flip_xz=False,
         jitter=True, roulette="off", num_frames=512,
-        backend="pallas", tile_height=24, tile_width=320,
+        backend="pallas", tile_height=16, tile_width=320,
+        exit_granularity=8,
     ),
     # 2. simd_tiled scene: 1280x720, 8 bounces, 4 spp
     "simd_tiled_720": RenderConfig(
         width=1280, height=720, spp=4, bounces=8, scene="glass_spheres",
-        env_mode="none", num_frames=64, backend="pallas", tile_height=24,
+        env_mode="none", num_frames=64, backend="pallas",
+        tile_height=16, tile_width=128, exit_granularity=8,
     ),
     # 3. simt_textured scene: 1920x1080 + HDR env map, 16 spp (counter
-    # RNG: multi-sample env frames split into per-sample dispatches)
+    # RNG: all 16 samples' miss lookups batch into ONE gather per frame)
     "textured_1080": RenderConfig(
         width=1920, height=1080, spp=16, bounces=8, scene="glass_spheres",
         env_mode="equirect", num_frames=16, backend="pallas", rng="counter",
-        tile_height=24, tile_width=128,
+        tile_height=24, tile_width=128, exit_granularity=8,
     ),
     # 4. differentiable inverse render (driver in diff/inverse.py)
     "inverse_render": RenderConfig(
@@ -210,8 +235,10 @@ BENCH_CONFIGS = {
     "offline_4k": RenderConfig(
         width=3840, height=2160, spp=1, bounces=8, scene="glass_spheres",
         env_mode="equirect", rng="counter", num_frames=1024,
-        backend="pallas", tile_height=24,
+        backend="pallas", tile_height=16, tile_width=128,
+        exit_granularity=8,
     ),
     # reference default workload (global_preprocessor_flags.h:30-40)
-    "reference_default": RenderConfig(backend="pallas", tile_height=24),
+    "reference_default": RenderConfig(backend="pallas", tile_height=16,
+                                      tile_width=128, exit_granularity=8),
 }

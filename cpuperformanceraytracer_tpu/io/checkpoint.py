@@ -49,7 +49,7 @@ def save_checkpoint(path: str, accum, frame: int, cfg: RenderConfig) -> None:
     interchangeable across accum_layout settings."""
     from cpuperformanceraytracer_tpu.render.frame import accum_to_vec3
 
-    v = accum_to_vec3(accum)
+    v = accum_to_vec3(accum, cfg)
     np.savez_compressed(
         path,
         version=_FORMAT_VERSION,
@@ -90,6 +90,14 @@ def resume_or_fresh(path: Optional[str], cfg: RenderConfig):
                         [accum.x, accum.y, accum.z,
                          np.zeros_like(accum.x)], axis=-1)
                     return jnp.asarray(packed), frame
+                if cfg.flat_accum:
+                    shape = (cfg.height * cfg.width // 128, 128)
+                    return (
+                        Vec3(jnp.asarray(accum.x).reshape(shape),
+                             jnp.asarray(accum.y).reshape(shape),
+                             jnp.asarray(accum.z).reshape(shape)),
+                        frame,
+                    )
                 return (
                     Vec3(jnp.asarray(accum.x), jnp.asarray(accum.y),
                          jnp.asarray(accum.z)),

@@ -204,8 +204,24 @@ def _is_const(x, value=None):
     return c is not None and (value is None or c == value)
 
 
+def _magic_div(d: int, n: int):
+    """(m, s) with (g*m)>>s == g//d for every 0 <= g < n, exhaustively
+    verified (g*m stays below 2^31 so i32 vector math is exact)."""
+    import numpy as np
+
+    g = np.arange(n, dtype=np.int64)
+    want = g // d
+    for s in range(1, 31):
+        m = (1 << s) // d + 1
+        if (n - 1) * m >= (1 << 31):
+            continue
+        if np.all((g * m) >> s == want):
+            return m, s
+    raise ValueError(f"no exact magic divisor for d={d}, n={n}")
+
+
 def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
-                 bh: int, bw: int, baked=None):
+                 bh: int, bw: int, baked=None, flat_gpr=None):
     """Build the kernel body for static (cfg, scene sizes, block shape).
 
     ``baked``: optional (quad_np, sph_np, mat_np, cam_np) numpy tables —
@@ -655,15 +671,29 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         (r_ref, g_ref, b_ref, md_x, md_y, md_z,
          mt_x, mt_y, mt_z, jr_ref, jc_ref, missed_ref, *scratch) = rest
         bi = pl.program_id(0)
-        bj = pl.program_id(1)
         # row0: this shard's first GLOBAL pixel row (0 single-device;
         # axis_index * rows_per_shard under shard_map) — fragCoords and
-        # RNG seeds are global-pixel quantities
+        # RNG seeds are global-pixel quantities. In flat128 mode the
+        # same scalar slot carries the first GROUP index instead.
         row0 = frame_ref[1]
         samp0 = frame_ref[2].astype(jnp.uint32)
-        row = row0 + bi * bh + jax.lax.broadcasted_iota(
-            jnp.int32, (bh, bw), 0)
-        col = bj * bw + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+        if flat_gpr is not None:
+            # flat128 layout: planes are (P/128, 128); sublane = pixel
+            # group g, lane = pixel within group. row/col derive from g
+            # via an exhaustively-verified multiply-shift division
+            # (Mosaic has no i32 vector divide).
+            gpr = flat_gpr
+            m, s = _magic_div(gpr, (cfg.height + 1) * gpr)
+            g = row0 + bi * bh + jax.lax.broadcasted_iota(
+                jnp.int32, (bh, bw), 0)
+            row = (g * m) >> s
+            col = ((g - row * gpr) * bw
+                   + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1))
+        else:
+            bj = pl.program_id(1)
+            row = row0 + bi * bh + jax.lax.broadcasted_iota(
+                jnp.int32, (bh, bw), 0)
+            col = bj * bw + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
         fy_i = (height - 1) - row
         frag_x = col.astype(jnp.float32)
         frag_y = fy_i.astype(jnp.float32)
@@ -739,12 +769,19 @@ def _use_interpret() -> bool:
 
 
 def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
-                   sample0: int = 0, row0=0, local_height=None):
+                   sample0: int = 0, row0=0, local_height=None,
+                   flat: bool = False):
     """Shared pallas_call setup/dispatch; returns the raw output planes.
 
     ``row0``/``local_height``: render only rows [row0, row0+local_height)
     of the global cfg.height image — the shard_map path passes each
     device's row offset (camera math and RNG seeds stay global-pixel).
+
+    ``flat``: flat128 pixel layout — output planes are (H*W/128, 128)
+    (sublane = 128-pixel group, lane = pixel), the layout that lets the
+    deferred env gather keep its lane batch minor (texture._gather_sublane;
+    avoids the 32x-padded narrow gather output). Requires width % 128 == 0;
+    blocks are (tile_height, 128) over a 1D grid.
     """
     cfg = cfg.validate()
     if cfg.spp > 1 and cfg.env_mode != "none":
@@ -754,7 +791,14 @@ def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
         )
     bh, bw = cfg.tile_height, cfg.tile_width
     out_h = cfg.height if local_height is None else local_height
-    if out_h % bh or cfg.width % bw:
+    if flat:
+        if cfg.width % 128:
+            raise ValueError("flat128 layout needs width % 128 == 0")
+        bw = 128
+        n_groups = out_h * cfg.width // 128
+        while n_groups % bh:
+            bh //= 2
+    elif out_h % bh or cfg.width % bw:
         raise ValueError(
             f"render extent {cfg.width}x{out_h} not divisible by "
             f"tile {bw}x{bh}"
@@ -792,14 +836,24 @@ def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
         ])
         baked = None
 
-    kernel = _make_kernel(cfg, nq, ns, nm, bh, bw, baked=baked)
-    grid = (out_h // bh, cfg.width // bw)
-
-    smem = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
-                                      memory_space=pltpu.SMEM)
-    blk = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
-                       memory_space=pltpu.VMEM)
-    plane = jax.ShapeDtypeStruct((out_h, cfg.width), jnp.float32)
+    gpr = cfg.width // 128 if flat else None
+    kernel = _make_kernel(cfg, nq, ns, nm, bh, bw, baked=baked,
+                          flat_gpr=gpr)
+    if flat:
+        grid = (n_groups // bh,)
+        smem = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                          memory_space=pltpu.SMEM)
+        blk = pl.BlockSpec((bh, bw), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        plane = jax.ShapeDtypeStruct((n_groups, bw), jnp.float32)
+    else:
+        grid = (out_h // bh, cfg.width // bw)
+        smem = lambda shape: pl.BlockSpec(shape,
+                                          lambda i, j: (0,) * len(shape),
+                                          memory_space=pltpu.SMEM)
+        blk = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                           memory_space=pltpu.VMEM)
+        plane = jax.ShapeDtypeStruct((out_h, cfg.width), jnp.float32)
 
     n_rng = 1 if cfg.rng == "wang" else 3
     scratch_shapes = (
@@ -920,30 +974,42 @@ def render_accumulate_pallas(scene, camera, texture, cfg: RenderConfig,
     )
 
     cfg = cfg.validate()
-    if cfg.spp == 1 or cfg.env_mode == "none":
+    flat = cfg.flat_accum
+    if cfg.env_mode == "none" or (cfg.spp == 1 and not flat):
         color = render_frame_pallas(scene, camera, texture, cfg, frame)
         return accumulate_frame(accum, color, frame)
 
-    if cfg.rng != "counter":
+    if cfg.spp > 1 and cfg.rng != "counter":
         raise NotImplementedError(
             "batched multi-sample env frames need rng='counter' (the "
             "wang stream is sequential across the sample loop)")
+
+    from cpuperformanceraytracer_tpu.texture.texture import _gather_sublane
+
     one = cfg.replace(spp=1)
     rs, gs, bs, txs, tys, tzs, idxs = [], [], [], [], [], [], []
     for s in range(cfg.spp):
-        outs = _pallas_render(scene, camera, texture, one, frame, sample0=s)
+        outs = _pallas_render(scene, camera, texture, one, frame,
+                              sample0=s, flat=flat)
         (r, g, b, mdx, mdy, mdz, mtx, mty, mtz, jr, jc, missed) = outs
         rs.append(r); gs.append(g); bs.append(b)
         txs.append(mtx); tys.append(mty); tzs.append(mtz)
         idxs.append(env_texel_flat_index(
             texture, Vec3(mdx, mdy, mdz), cfg, jr, jc))
     inv = 1.0 / cfg.spp
-    env = _gather(texture, jnp.stack(idxs))  # Vec3 of (spp, H, W) planes
-    color = Vec3(
-        (sum(rs) + sum(e * t for e, t in zip(env.x, txs))) * inv,
-        (sum(gs) + sum(e * t for e, t in zip(env.y, tys))) * inv,
-        (sum(bs) + sum(e * t for e, t in zip(env.z, tzs))) * inv,
-    )
+    gather = _gather_sublane if flat else _gather
+    if cfg.spp == 1:
+        env = gather(texture, idxs[0])
+        color = Vec3(rs[0] + env.x * txs[0],
+                     gs[0] + env.y * tys[0],
+                     bs[0] + env.z * tzs[0])
+    else:
+        env = gather(texture, jnp.stack(idxs))  # Vec3 (spp, ...) planes
+        color = Vec3(
+            (sum(rs) + sum(e * t for e, t in zip(env.x, txs))) * inv,
+            (sum(gs) + sum(e * t for e, t in zip(env.y, tys))) * inv,
+            (sum(bs) + sum(e * t for e, t in zip(env.z, tzs))) * inv,
+        )
     return accumulate_frame(accum, color, frame)
 
 

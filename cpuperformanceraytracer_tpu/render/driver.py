@@ -221,7 +221,7 @@ class OfflineRenderer:
 
     def image_u8(self) -> np.ndarray:
         return np.asarray(
-            postprocess_image(self.state.accum, self.cfg.exposure)
+            postprocess_image(self.state.accum, self.cfg.exposure, self.cfg)
         )
 
     def write_image(self, path: str) -> None:

@@ -67,20 +67,28 @@ def accumulate_frame(accum, frame_color, frame):
     )
 
 
-def accum_to_vec3(accum) -> Vec3:
-    """Either accumulation layout -> Vec3 planes (the packed layout pays
-    its one unpack copy here, at image-write time)."""
+def accum_to_vec3(accum, cfg: Optional[RenderConfig] = None) -> Vec3:
+    """Any accumulation layout -> Vec3 of (H, W) planes (packed/flat
+    layouts pay their one unpack/retile copy here, at image-write time).
+    ``cfg`` is needed to unflatten flat128 planes; without it, planes
+    are returned in whatever 2D shape they carry."""
     if isinstance(accum, Vec3):
+        if (cfg is not None
+                and accum.x.shape != (cfg.height, cfg.width)):
+            shape = (cfg.height, cfg.width)
+            return Vec3(accum.x.reshape(shape), accum.y.reshape(shape),
+                        accum.z.reshape(shape))
         return accum
     return Vec3(accum[..., 0], accum[..., 1], accum[..., 2])
 
 
-def postprocess_image(accum, exposure: float = 1.0) -> jnp.ndarray:
-    """f32 accumulation (either layout) -> display u8 (H, W, 3):
+def postprocess_image(accum, exposure: float = 1.0,
+                      cfg: Optional[RenderConfig] = None) -> jnp.ndarray:
+    """f32 accumulation (any layout) -> display u8 (H, W, 3):
     exposure, ACES, sRGB, round (OutputToScreen/OutputToFile,
     v4 :1260-1331, without the BGRA/RGBA packing games — callers pick
     channel order at IO time)."""
-    return to_u8(postprocess_color(accum_to_vec3(accum), exposure))
+    return to_u8(postprocess_color(accum_to_vec3(accum, cfg), exposure))
 
 
 def _make_render(cfg: RenderConfig, backend: Optional[str],
@@ -187,12 +195,15 @@ def make_multi_frame_fn(cfg: RenderConfig, frames_per_dispatch: int,
 
 
 def zero_accum(cfg: RenderConfig):
-    """Fresh accumulation buffer in the config's layout (packed_accum)."""
+    """Fresh accumulation buffer in the config's layout (accum_layout)."""
     if cfg.packed_accum:
         return jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
     # three distinct buffers: the planes are donated to the frame step,
     # and donating one shared buffer three times is an error
-    shape = (cfg.height, cfg.width)
+    if cfg.flat_accum:
+        shape = (cfg.height * cfg.width // 128, 128)
+    else:
+        shape = (cfg.height, cfg.width)
     return Vec3(
         jnp.zeros(shape, jnp.float32),
         jnp.zeros(shape, jnp.float32),

@@ -100,6 +100,33 @@ def _gather(tex: Texture, flat_idx) -> Vec3:
     return Vec3(out[0], out[1], out[2])
 
 
+def _gather_sublane(tex: Texture, idx) -> Vec3:
+    """Lane-batched gather for flat128 layouts: ``idx`` (..., 128) ->
+    Vec3 of (..., 128) planes.
+
+    Key memory fact (measured via an OOM dump, v5e): any gather output
+    whose MINOR dim is the 4-texel row is physically padded 4->128 by
+    the T(8,128) tiling — a 32x HBM expansion that the gather writes and
+    the consumer re-reads (~450 MB and ~0.6 ms/frame at 720p; 15.8 GB —
+    an outright OOM — for a 16-sample 1080p batch). Placing the channel
+    dim SECOND-minor (output (..., 4, 128), offset_dims=(ndim-1,)) pads
+    only 4->8 sublanes (2x), and the per-channel sublane slices fuse
+    into elementwise consumers. Requires the caller to run in the
+    flat (P/128, 128) pixel layout so the 128-lane batch is minor.
+    """
+    tt = jnp.stack(
+        [tex.r, tex.g, tex.b, jnp.zeros_like(tex.r)], axis=-1)  # (N, 4)
+    out = jax.lax.gather(
+        tt, idx[..., None],
+        dimension_numbers=jax.lax.GatherDimensionNumbers(
+            offset_dims=(idx.ndim - 1,), collapsed_slice_dims=(0,),
+            start_index_map=(0,)),
+        slice_sizes=(1, 4),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (..., 4, 128)
+    return Vec3(out[..., 0, :], out[..., 1, :], out[..., 2, :])
+
+
 def _gather_packed(tex: Texture, flat_idx) -> jnp.ndarray:
     """Row-gather returning the raw packed (..., 4) RGBX texels.
 

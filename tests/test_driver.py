@@ -102,6 +102,41 @@ def test_pallas_backend_driver():
     assert np.isfinite(np.asarray(r.state.accum.x)).all()
 
 
+def test_flat128_driver_roundtrip(tmp_path):
+    """The flat128 accumulation layout must survive the whole driver
+    loop: run, image write, checkpoint, resume (checkpoints are stored
+    as (H, W) planes so they stay layout-portable)."""
+    from cpuperformanceraytracer_tpu.texture.procedural import gradient_sky
+    from cpuperformanceraytracer_tpu.texture.texture import texture_from_array
+
+    cfg = _cfg(width=128, height=16, bounces=2, scene="glass_spheres",
+               env_mode="equirect", backend="pallas",
+               tile_height=8, tile_width=128, num_frames=4)
+    assert cfg.flat_accum
+    tex = texture_from_array(gradient_sky(32, 16))
+    ck = str(tmp_path / "flat.npz")
+    a = OfflineRenderer(cfg, texture=tex, silent=True)
+    a.run(checkpoint_path=ck, checkpoint_every=2)
+    img = a.image_u8()
+    assert img.shape == (16, 128, 3)
+    b = OfflineRenderer(cfg, texture=tex, silent=True)
+    b.resume(ck)
+    assert b.state.frame == 4
+    assert b.state.accum.x.shape == (16 * 128 // 128, 128)
+    np.testing.assert_allclose(np.asarray(b.state.accum.x),
+                               np.asarray(a.state.accum.x), atol=1e-6)
+    # xla render of the same config must match the flat pallas result
+    xcfg = cfg.replace(backend="xla")
+    c = OfflineRenderer(xcfg, texture=tex, silent=True)
+    c.run()
+    from cpuperformanceraytracer_tpu.render.frame import accum_to_vec3
+
+    va = accum_to_vec3(a.state.accum, cfg)
+    vc = accum_to_vec3(c.state.accum, xcfg)
+    assert abs(float(np.mean(np.asarray(va.x)))
+               - float(np.mean(np.asarray(vc.x)))) < 5e-3
+
+
 def test_term_view_ansi():
     """Live-view rendering: truecolor half-block frame of the right
     geometry, mean-pooled from the image."""

@@ -134,13 +134,16 @@ class TestFusedCombine:
         assert supports_fused_combine(cfg)
         scene, cam = glass_spheres_scene()
         tex = texture_from_array(gradient_sky(64, 32))
-        a_old = zero_accum(cfg)
+        a_old = zero_accum(cfg.replace(accum_layout="planar"))
         a_new = zero_accum(cfg)
+        from cpuperformanceraytracer_tpu.render.frame import accum_to_vec3
+
         for f in range(frames):
             color = render_frame_pallas(scene, cam, tex, cfg, f)
             a_old = accumulate_frame(a_old, color, f)
             a_new = render_accumulate_pallas(scene, cam, tex, cfg, f, a_new)
-        for c_new, c_old in zip(a_new, a_old):
+        for c_new, c_old in zip(accum_to_vec3(a_new, cfg),
+                                accum_to_vec3(a_old, cfg)):
             np.testing.assert_allclose(np.asarray(c_new), np.asarray(c_old),
                                        rtol=1e-5, atol=1e-6)
 
