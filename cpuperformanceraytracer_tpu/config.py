@@ -106,8 +106,14 @@ class RenderConfig:
     #              (texture._gather_sublane).
     #   "planar"   Vec3 of (H, W) planes (oracle/mesh layout).
     #   "packed4"  one (H, W, 4) RGBX array (kept for A/B).
-    #   "auto"     flat128 on the single-device pallas+env path when
-    #              width % 128 == 0, planar otherwise.
+    #   "auto"     planar. (flat128 measured NET-NEGATIVE as a default:
+    #              XLA's gather lowering materializes the narrow padded
+    #              intermediate + retile copy regardless of the
+    #              requested output form, and flat blocks span full
+    #              image rows, which defeats the block early-exit's
+    #              sky-tile locality — 232 vs 238 Mrays/s at the
+    #              headline workload. Kept as an explicit option and a
+    #              measured record; docs/PERFORMANCE.md.)
     accum_layout: str = "auto"
 
     @property
@@ -118,14 +124,7 @@ class RenderConfig:
     @property
     def flat_accum(self) -> bool:
         """Resolved accum_layout: True = flat128 (H*W/128, 128) planes."""
-        if self.accum_layout == "flat128":
-            return True
-        if self.accum_layout != "auto":
-            return False
-        return (self.backend == "pallas" and self.env_mode != "none"
-                and self.env_sampling in ("stochastic", "nearest")
-                and self.width % 128 == 0
-                and (self.spp == 1 or self.rng == "counter"))
+        return self.accum_layout == "flat128"
 
     def validate(self) -> "RenderConfig":
         """Raise ValueError on invalid combinations (CheckValidSettings

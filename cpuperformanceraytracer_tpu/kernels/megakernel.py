@@ -205,18 +205,24 @@ def _is_const(x, value=None):
 
 
 def _magic_div(d: int, n: int):
-    """(m, s) with (g*m)>>s == g//d for every 0 <= g < n, exhaustively
-    verified (g*m stays below 2^31 so i32 vector math is exact)."""
+    """(k, m, s) with ((g >> k) * m) >> s == g // d for every
+    0 <= g < n, exhaustively verified ((g >> k) * m stays below 2^31 so
+    i32 vector math is exact). Factoring d's power of two into the
+    pre-shift k buys the precision headroom that divisors like 30 need
+    at 4K group counts."""
     import numpy as np
 
     g = np.arange(n, dtype=np.int64)
     want = g // d
+    k = (d & -d).bit_length() - 1  # trailing zeros of d
+    d2 = d >> k
+    gk = g >> k
     for s in range(1, 31):
-        m = (1 << s) // d + 1
-        if (n - 1) * m >= (1 << 31):
+        m = (1 << s) // d2 + 1
+        if (gk[-1]) * m >= (1 << 31):
             continue
-        if np.all((g * m) >> s == want):
-            return m, s
+        if np.all((gk * m) >> s == want):
+            return k, m, s
     raise ValueError(f"no exact magic divisor for d={d}, n={n}")
 
 
@@ -683,10 +689,10 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
             # via an exhaustively-verified multiply-shift division
             # (Mosaic has no i32 vector divide).
             gpr = flat_gpr
-            m, s = _magic_div(gpr, (cfg.height + 1) * gpr)
+            k, m, s = _magic_div(gpr, (cfg.height + 1) * gpr)
             g = row0 + bi * bh + jax.lax.broadcasted_iota(
                 jnp.int32, (bh, bw), 0)
-            row = (g * m) >> s
+            row = ((g >> k) * m) >> s
             col = ((g - row * gpr) * bw
                    + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1))
         else:
@@ -960,9 +966,9 @@ def render_accumulate_pallas(scene, camera, texture, cfg: RenderConfig,
 
     spp == 1 delegates to render_frame_pallas (whose deferred env lookup
     is already the planar channel-major gather) + accumulate. spp > 1
-    (counter RNG) stacks every sample's miss state and resolves it with
-    ONE batched (4, spp, H, W) gather + one elementwise combine instead
-    of a per-sample gather/add chain.
+    (counter RNG) runs one kernel dispatch + one gather per sample inside
+    the single jitted step and resolves all samples with one elementwise
+    combine (per-sample gathers on purpose: see the OOM note below).
 
     ``packed_table`` is accepted for call-site compatibility (the table
     stack is hoisted by XLA loop-invariant code motion either way).
@@ -987,29 +993,28 @@ def render_accumulate_pallas(scene, camera, texture, cfg: RenderConfig,
     from cpuperformanceraytracer_tpu.texture.texture import _gather_sublane
 
     one = cfg.replace(spp=1)
-    rs, gs, bs, txs, tys, tzs, idxs = [], [], [], [], [], [], []
+    gather = _gather_sublane if flat else _gather
+    # one kernel + one gather PER SAMPLE, combined INCREMENTALLY: XLA
+    # materializes a narrow (queries, 4) gather intermediate padded
+    # 4->128 lanes (32x HBM), so a single stacked gather over all
+    # samples would allocate spp x that — 15.8 GB (an OOM) at 16-sample
+    # 1080p — and even per-sample planes summed at the END would keep
+    # spp x 12 planes live at once. The running sum frees each sample's
+    # planes as soon as its contribution is added.
+    color = None
     for s in range(cfg.spp):
         outs = _pallas_render(scene, camera, texture, one, frame,
                               sample0=s, flat=flat)
         (r, g, b, mdx, mdy, mdz, mtx, mty, mtz, jr, jc, missed) = outs
-        rs.append(r); gs.append(g); bs.append(b)
-        txs.append(mtx); tys.append(mty); tzs.append(mtz)
-        idxs.append(env_texel_flat_index(
-            texture, Vec3(mdx, mdy, mdz), cfg, jr, jc))
-    inv = 1.0 / cfg.spp
-    gather = _gather_sublane if flat else _gather
-    if cfg.spp == 1:
-        env = gather(texture, idxs[0])
-        color = Vec3(rs[0] + env.x * txs[0],
-                     gs[0] + env.y * tys[0],
-                     bs[0] + env.z * tzs[0])
-    else:
-        env = gather(texture, jnp.stack(idxs))  # Vec3 (spp, ...) planes
-        color = Vec3(
-            (sum(rs) + sum(e * t for e, t in zip(env.x, txs))) * inv,
-            (sum(gs) + sum(e * t for e, t in zip(env.y, tys))) * inv,
-            (sum(bs) + sum(e * t for e, t in zip(env.z, tzs))) * inv,
-        )
+        idx = env_texel_flat_index(texture, Vec3(mdx, mdy, mdz), cfg,
+                                   jr, jc)
+        env = gather(texture, idx)
+        contrib = Vec3(r + env.x * mtx, g + env.y * mty, b + env.z * mtz)
+        color = contrib if color is None else Vec3(
+            color.x + contrib.x, color.y + contrib.y, color.z + contrib.z)
+    if cfg.spp > 1:
+        inv = 1.0 / cfg.spp
+        color = Vec3(color.x * inv, color.y * inv, color.z * inv)
     return accumulate_frame(accum, color, frame)
 
 

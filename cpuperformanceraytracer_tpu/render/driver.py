@@ -150,8 +150,11 @@ class OfflineRenderer:
             # against ~1 ms of dispatch, so it needs K in the hundreds,
             # not 16. Under a mesh the same fusion applies per shard
             # (make_sharded_multi_frame_fn).
+            # capped at 64: measured diminishing returns past ~16-64
+            # (dispatch overhead already <2% of frame time there) while
+            # Mosaic compile time grows with dispatch width
             work = cfg.width * cfg.height * cfg.spp
-            k = max(1, min(512, round(15_000_000 / work)))
+            k = max(1, min(64, round(15_000_000 / work)))
             # prefer the largest divisor of num_frames <= k: a non-divisor
             # K leaves a num_frames % K tail of slow per-frame dispatches
             divs = [d for d in range(1, min(k, cfg.num_frames) + 1)

@@ -71,6 +71,14 @@ def load_cubemap_texture(paths) -> Texture:
     return texture_from_array(np.concatenate(faces, axis=0))
 
 
+# max queries per gather op: XLA materializes a (queries, 4) gather
+# intermediate physically padded 4->128 lanes (32x), i.e. ~512 MB per
+# 1M queries — chunking big gathers (4K frames, multi-sample batches)
+# bounds that temp and lets XLA free it between chunks. 1M keeps the
+# 720p headline frame (921600 queries) in a single unchunked gather.
+_GATHER_CHUNK = 1 << 20
+
+
 def _gather(tex: Texture, flat_idx) -> Vec3:
     """One channel-major gather: (4, *idx.shape) planar texel planes.
 
@@ -87,6 +95,14 @@ def _gather(tex: Texture, flat_idx) -> Vec3:
     planar (4, ...) planes directly — the transpose rides inside the
     gather op itself and measures cheapest end-to-end, and the per-plane
     slices below are free views."""
+    if flat_idx.ndim >= 2 and flat_idx.size > _GATHER_CHUNK:
+        rows = flat_idx.shape[0]
+        per_row = flat_idx.size // rows
+        step = max(1, _GATHER_CHUNK // per_row)
+        parts = [_gather(tex, flat_idx[i:i + step])
+                 for i in range(0, rows, step)]
+        return Vec3(*(jnp.concatenate([getattr(p, c) for p in parts],
+                                      axis=0) for c in "xyz"))
     tt = jnp.stack(
         [tex.r, tex.g, tex.b, jnp.zeros_like(tex.r)], axis=0)  # (4, N)
     out = jax.lax.gather(

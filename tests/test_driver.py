@@ -111,7 +111,8 @@ def test_flat128_driver_roundtrip(tmp_path):
 
     cfg = _cfg(width=128, height=16, bounces=2, scene="glass_spheres",
                env_mode="equirect", backend="pallas",
-               tile_height=8, tile_width=128, num_frames=4)
+               tile_height=8, tile_width=128, num_frames=4,
+               accum_layout="flat128")
     assert cfg.flat_accum
     tex = texture_from_array(gradient_sky(32, 16))
     ck = str(tmp_path / "flat.npz")

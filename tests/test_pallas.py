@@ -158,6 +158,24 @@ class TestFusedCombine:
                        env_flip_xz=True, rng="counter", spp=3,
                        backend="pallas"), frames=2)
 
+    def test_fused_flat128_spp1(self):
+        """The opt-in flat128 layout (kept as a measured alternative)
+        must stay output-identical to the image-layout path."""
+        self._run(_cfg(scene="glass_spheres", bounces=3, jitter=True,
+                       env_mode="equirect", env_sampling="stochastic",
+                       env_flip_xz=True, backend="pallas",
+                       accum_layout="flat128"))
+
+    def test_flat128_odd_groups_per_row(self):
+        """flat128 at width 1920 (15 groups/row — an odd divisor whose
+        magic division needs the pre-shift-free path) must match the
+        image-layout render exactly."""
+        self._run(_cfg(width=1920, height=8, scene="glass_spheres",
+                       bounces=2, jitter=True, env_mode="equirect",
+                       env_sampling="stochastic", env_flip_xz=True,
+                       backend="pallas", tile_height=8,
+                       accum_layout="flat128"), frames=2)
+
     def test_deinterleave_exact(self):
         from cpuperformanceraytracer_tpu.kernels.combine import (
             combine_accumulate,
