@@ -105,29 +105,46 @@ def cmd_watch(a) -> int:
     the terminal with a per-frame stats line — the TPU-native analog of
     the reference's interactive window + title-bar frame times
     (Application.cpp:196-379, 308-335)."""
+    import collections
     import time
 
-    from cpuperformanceraytracer_tpu.render.driver import OfflineRenderer
+    from cpuperformanceraytracer_tpu.render.driver import OfflineRenderer, RenderState
+    from cpuperformanceraytracer_tpu.render.frame import zero_accum
     from cpuperformanceraytracer_tpu.utils.timing import device_sync
 
     cfg = _cfg_from_args(a)
     r = OfflineRenderer(cfg, texture=_texture_from_args(a), silent=a.silent)
     rays = cfg.width * cfg.height * cfg.spp
-    ema_ms = None
+
+    # warm up UNTIMED: compile both dispatch widths the loop will use
+    # (the main interval and the tail remainder) into a scratch state so
+    # no Mosaic/XLA compile lands inside a timed span
+    tail = cfg.num_frames % a.interval
+    keep = r.state
+    r.state = RenderState(accum=zero_accum(cfg), frame=0)
+    r.step_k(min(a.interval, cfg.num_frames))
+    if tail and tail != a.interval:
+        r.step_k(tail)
+    device_sync(r.state.accum)
+    r.state = keep
+
+    # true 30-frame rolling window, as the reference's title bar
+    # (Application.cpp:308-335: mean over the last 30 frames)
+    window = collections.deque(maxlen=30)
     first = True
     for i in range(0, cfg.num_frames, a.interval):
         todo = min(a.interval, cfg.num_frames - i)
         t0 = time.perf_counter()
         r.step_k(todo)
         device_sync(r.state.accum)
-        ms = (time.perf_counter() - t0) / todo * 1e3
-        # 30-frame-style rolling mean, as the reference's title bar
-        ema_ms = ms if ema_ms is None else ema_ms + (ms - ema_ms) * 0.3
+        per_frame = (time.perf_counter() - t0) / todo * 1e3
+        window.extend([per_frame] * todo)
+        roll_ms = sum(window) / len(window)
         done = i + todo
         r.write_image(a.output)
-        stats = (f"frame {done}/{cfg.num_frames} | {ema_ms:7.2f} ms/frame | "
-                 f"{1e3 / ema_ms:6.1f} fps | "
-                 f"{rays / ema_ms / 1e3:7.1f} Mrays/s | {a.output}")
+        stats = (f"frame {done}/{cfg.num_frames} | {roll_ms:7.2f} ms/frame | "
+                 f"{1e3 / roll_ms:6.1f} fps | "
+                 f"{rays / roll_ms / 1e3:7.1f} Mrays/s | {a.output}")
         if a.live:
             from cpuperformanceraytracer_tpu.utils.term_view import live_view
 
@@ -140,24 +157,36 @@ def cmd_watch(a) -> int:
 
 def cmd_bench(a) -> int:
     import json
+    import os
 
     from cpuperformanceraytracer_tpu.render.driver import OfflineRenderer
     from cpuperformanceraytracer_tpu.texture.procedural import gradient_sky
-    from cpuperformanceraytracer_tpu.texture.texture import texture_from_array
+    from cpuperformanceraytracer_tpu.texture.texture import (
+        load_texture,
+        texture_from_array,
+    )
 
     names = a.configs or [k for k in BENCH_CONFIGS
                           if k not in ("inverse_render", "offline_4k")]
+    # same env texture policy as bench.py: the reference HDR when present
+    # (512x256, the reference's own asset), procedural sky of the same
+    # texel count otherwise — and SAY which one the numbers used
+    ref_hdr = "/root/reference/Textures/HDR_040_Field_Env.hdr"
+    use_hdr = os.path.exists(ref_hdr)
     for name in names:
         cfg = BENCH_CONFIGS[name].replace(num_frames=a.frames)
-        tex = None
+        tex = env_tex = None
         if cfg.env_mode != "none":
-            tex = texture_from_array(gradient_sky(512, 256))
+            tex = (load_texture(ref_hdr) if use_hdr
+                   else texture_from_array(gradient_sky(512, 256)))
+            env_tex = "HDR_040_Field_Env" if use_hdr else "procedural_512x256"
         r = OfflineRenderer(cfg, texture=tex, silent=True)
         t = r.run()
         rays = cfg.width * cfg.height * cfg.spp
         print(json.dumps({
             "config": name, "ms_per_frame": round(t.mean_ms, 3),
             "Mrays_per_s": round(t.rays_per_second(rays) / 1e6, 2),
+            "env_texture": env_tex,
         }))
     return 0
 
@@ -167,12 +196,12 @@ def cmd_bench_grad(a) -> int:
     workload — the backward-pass throughput metric BASELINE.md reports.
 
     Gradients flow to the full differentiable surface (sphere centers,
-    albedos, env texels) through the XLA integrator with path-replay
-    rematerialization (diff/path_replay.py: counter RNG makes each
-    bounce segment exactly recomputable in the backward sweep instead of
-    storing ~20 live planes per segment). The loop being differentiated
-    is the reference bounce loop, demofox_path_tracing_optimization_v4
-    .cpp:722-910.
+    albedos, env texels). --backend pallas (the production path) uses
+    the adjoint Pallas megakernel (kernels/backward.py: in-VMEM path
+    replay + sorted env segment-sum); --backend xla uses the oracle
+    integrator with path-replay rematerialization (diff/path_replay.py).
+    The loop being differentiated is the reference bounce loop,
+    demofox_path_tracing_optimization_v4.cpp:722-910.
     """
     import json
     import time
@@ -187,8 +216,9 @@ def cmd_bench_grad(a) -> int:
     from cpuperformanceraytracer_tpu.scene.presets import scene_by_name
     from cpuperformanceraytracer_tpu.utils.timing import device_sync
 
-    cfg = _cfg_from_args(a).replace(
-        rng="counter", backend="xla", remat_bounces=True)
+    cfg = _cfg_from_args(a).replace(rng="counter")
+    if cfg.backend == "xla":
+        cfg = cfg.replace(remat_bounces=True)
     scene, cam = scene_by_name(cfg.scene)
     tex = _texture_from_args(a)
     target = render_for_params({}, scene, cam, tex, cfg, 0)
@@ -223,7 +253,7 @@ def cmd_bench_grad(a) -> int:
     print(json.dumps({
         "metric": "fwd_bwd_ms_per_step",
         "config": f"{cfg.width}x{cfg.height} spp{cfg.spp} "
-                  f"b{cfg.bounces} env={cfg.env_mode}",
+                  f"b{cfg.bounces} env={cfg.env_mode} {cfg.backend}",
         "ms_per_step": round(ms, 3),
         "fwd_bwd_Mrays_per_s": round(rays / ms / 1e3, 2),
         "param_leaves": sorted(params),

@@ -115,6 +115,11 @@ class RenderConfig:
     #              headline workload. Kept as an explicit option and a
     #              measured record; docs/PERFORMANCE.md.)
     accum_layout: str = "auto"
+    # static (width, height) of the env texture for the DIFFERENTIABLE
+    # pallas path (kernels/backward.py) — texel planes are traced
+    # parameters there, so the dims must ride statically; () = unset.
+    # Set automatically by render_frame_pallas_diff.
+    env_tex_shape: tuple = ()
 
     @property
     def packed_accum(self) -> bool:
@@ -164,6 +169,17 @@ class RenderConfig:
         if self.accum_layout == "flat128" and self.env_sampling == "bilinear":
             errs.append('accum_layout "flat128" needs a single-tap env '
                         'sampling mode (stochastic/nearest)')
+        if self.accum_layout == "flat128" and (
+                self.backend != "pallas" or self.env_mode == "none"):
+            # only the fused pallas+env step produces flat128 planes;
+            # the generic frame step emits (H, W) color that would fail
+            # with an opaque broadcast error against flat accum planes
+            errs.append('accum_layout "flat128" requires backend "pallas" '
+                        'and an env map (the fused combine path)')
+        if (self.accum_layout == "flat128" and self.spp > 1
+                and self.rng != "counter"):
+            errs.append('accum_layout "flat128" with spp > 1 needs '
+                        'rng="counter" (per-sample addressable streams)')
         if self.accum_layout not in ("auto", "planar", "packed4", "flat128"):
             errs.append(f"accum_layout {self.accum_layout!r} invalid")
         if self.accum_layout == "packed4" and self.backend != "pallas":
@@ -215,7 +231,9 @@ BENCH_CONFIGS = {
         tile_height=16, tile_width=128, exit_granularity=8,
     ),
     # 3. simt_textured scene: 1920x1080 + HDR env map, 16 spp (counter
-    # RNG: all 16 samples' miss lookups batch into ONE gather per frame)
+    # RNG: one kernel + one miss-gather per sample, combined incrementally
+    # in one jitted frame step — a single batched gather over all 16
+    # samples OOMs at 15.8 GB; see render_accumulate_pallas)
     "textured_1080": RenderConfig(
         width=1920, height=1080, spp=16, bounces=8, scene="glass_spheres",
         env_mode="equirect", num_frames=16, backend="pallas", rng="counter",

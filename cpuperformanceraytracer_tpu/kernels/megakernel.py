@@ -125,6 +125,18 @@ def pack_scene(scene: Scene):
     return quad_tbl, sph_tbl, mat_tbl
 
 
+def pack_camera(camera, cfg) -> "jnp.ndarray":
+    """(8,) camera table: position(3), distance, forward_z, ambient(3).
+    The ambient rides in the camera table because the kernel adds it
+    inline on first miss when env_mode == 'none'."""
+    a = cfg.ambient
+    return jnp.stack([
+        camera.position.x, camera.position.y, camera.position.z,
+        camera.distance, camera.forward_z,
+        jnp.float32(a[0]), jnp.float32(a[1]), jnp.float32(a[2]),
+    ])
+
+
 class _SmemRng:
     """WangRng-compatible draw API over a (BH, BW) u32 state tile."""
 
@@ -227,7 +239,8 @@ def _magic_div(d: int, n: int):
 
 
 def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
-                 bh: int, bw: int, baked=None, flat_gpr=None):
+                 bh: int, bw: int, baked=None, flat_gpr=None,
+                 export_parts=False):
     """Build the kernel body for static (cfg, scene sizes, block shape).
 
     ``baked``: optional (quad_np, sph_np, mat_np, cam_np) numpy tables —
@@ -325,7 +338,11 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
             cc = dot3(m_, m_) - r * r
             discr = b * b - cc
             miss = ((cc > 0.0) & (b > 0.0)) | (discr < 0.0)
-            sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+            # double-where sqrt guard (same as the oracle's _test_spheres):
+            # sqrt'(0) = inf would leak NaN into the backward kernel's
+            # adjoint through miss lanes; forward values are identical
+            discr_safe = jnp.where(discr > 0.0, discr, 1.0)
+            sq = jnp.where(discr > 0.0, jnp.sqrt(discr_safe), 0.0)
             from_in = -b < sq
             dist = jnp.where(from_in, sq, -sq) - b
             valid = (~miss) & (dist > MIN_RAY_HIT_TIME) & (dist < best)
@@ -427,28 +444,15 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
             (bh, bw), cam_scalar(cam_ref, 4) * cam_scalar(cam_ref, 3)))
         return cam_pos, _safe_normalize(target), rng
 
-    def sample_once(quads, spheres, materials, cam_ref, scratch, rng, pos,
-                    dir, allow_exit):
-        """One path-trace sample from a prepared primary ray:
-        returns (ret, miss_state, rng).
-
-        ``allow_exit``: skip remaining bounce segments once every lane in
-        the block is dead — the TPU analog of the reference's
-        all_set(shouldBreak) early-out (v4 :731,781), at block instead of
-        8-lane granularity. Skipping also skips that segment's RNG draws,
-        so it is only legal when no later sample continues the same
-        sequential stream (counter RNG always; wang RNG's last sample).
-        Carried state lives in VMEM ``scratch`` refs so the skip is a real
-        branch (pl.when) rather than a mask."""
-        ret = Vec3(*(jnp.zeros((bh, bw)) for _ in range(3)))
-        thr = Vec3(*(jnp.ones((bh, bw)) for _ in range(3)))
-        alive = jnp.ones((bh, bw), jnp.bool_)
-        missed = jnp.zeros((bh, bw), jnp.bool_)
-        miss_dir = Vec3(jnp.zeros((bh, bw)), jnp.zeros((bh, bw)),
-                        jnp.ones((bh, bw)))
-        miss_thr = Vec3(*(jnp.zeros((bh, bw)) for _ in range(3)))
-        miss_jr = jnp.zeros((bh, bw))
-        miss_jc = jnp.zeros((bh, bw))
+    def make_bounce_body(quads, spheres, materials, cam_ref):
+        """Build the per-segment bounce body over EXPLICIT scene values
+        (lists of traced scalars/planes or baked python floats). Shared
+        verbatim by the forward kernel and the backward kernel's
+        replay+adjoint sweeps (kernels/backward.py), so the two can never
+        drift. Estimator weights (lottery inverse-probability, roulette
+        boost) are DETACHED exactly like the oracle integrator
+        (render/integrator.py), which is what makes jax.vjp of this body
+        the correct gradient policy."""
 
         def bounce_body(state):
             (ret, thr, pos, dir, alive, miss_dir, miss_thr, miss_jr,
@@ -545,7 +549,10 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
             ray_prob = _wh(do_spec, spec_chance,
                            _wh(do_refr, refr_chance, diff_chance))
             if _const(ray_prob) is None:
-                ray_prob = jnp.maximum(ray_prob, MIN_RAY_PROBABILITY)
+                # estimator weight, not physics: detach like the oracle
+                # (integrator.py ray_prob stop_gradient)
+                ray_prob = jax.lax.stop_gradient(
+                    jnp.maximum(ray_prob, MIN_RAY_PROBABILITY))
                 inv_prob = 1.0 / ray_prob
             else:
                 inv_prob = 1.0 / max(_const(ray_prob), MIN_RAY_PROBABILITY)
@@ -601,7 +608,9 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
                     0.0, 1.0)
                 rr, rng = rng.next01()
                 terminated = rr > p
-                boost = 1.0 / jnp.maximum(p, MIN_RAY_PROBABILITY)
+                # detached roulette boost (integrator.py policy)
+                boost = 1.0 / jax.lax.stop_gradient(
+                    jnp.maximum(p, MIN_RAY_PROBABILITY))
                 new_thr = Vec3(
                     jnp.where(terminated, new_thr.x, new_thr.x * boost),
                     jnp.where(terminated, new_thr.y, new_thr.y * boost),
@@ -617,6 +626,34 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
             alive = update
             return (ret, thr, pos, dir, alive, miss_dir, miss_thr,
                     miss_jr, miss_jc, missed, rng_flatten(rng))
+
+        return bounce_body
+
+    def sample_once(quads, spheres, materials, cam_ref, scratch, rng, pos,
+                    dir, allow_exit, bounce_body=None):
+        """One path-trace sample from a prepared primary ray:
+        returns (ret, miss_state, rng).
+
+        ``allow_exit``: skip remaining bounce segments once every lane in
+        the block is dead — the TPU analog of the reference's
+        all_set(shouldBreak) early-out (v4 :731,781), at block instead of
+        8-lane granularity. Skipping also skips that segment's RNG draws,
+        so it is only legal when no later sample continues the same
+        sequential stream (counter RNG always; wang RNG's last sample).
+        Carried state lives in VMEM ``scratch`` refs so the skip is a real
+        branch (pl.when) rather than a mask."""
+        if bounce_body is None:
+            bounce_body = make_bounce_body(quads, spheres, materials,
+                                           cam_ref)
+        ret = Vec3(*(jnp.zeros((bh, bw)) for _ in range(3)))
+        thr = Vec3(*(jnp.ones((bh, bw)) for _ in range(3)))
+        alive = jnp.ones((bh, bw), jnp.bool_)
+        missed = jnp.zeros((bh, bw), jnp.bool_)
+        miss_dir = Vec3(jnp.zeros((bh, bw)), jnp.zeros((bh, bw)),
+                        jnp.ones((bh, bw)))
+        miss_thr = Vec3(*(jnp.zeros((bh, bw)) for _ in range(3)))
+        miss_jr = jnp.zeros((bh, bw))
+        miss_jc = jnp.zeros((bh, bw))
 
         state = (ret, thr, pos, dir, alive, miss_dir, miss_thr,
                  miss_jr, miss_jc, missed, rng_flatten(rng))
@@ -667,6 +704,19 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
          miss_jc, missed, rng_state) = state
         return (ret, (miss_dir, miss_thr, miss_jr, miss_jc, missed),
                 rng_unflatten(rng_state))
+
+    if export_parts:
+        # the backward kernel (kernels/backward.py) builds its own
+        # kernel body from these shared pieces — one physics
+        # implementation for forward and adjoint
+        import types
+
+        return types.SimpleNamespace(
+            make_bounce_body=make_bounce_body,
+            camera_ray_blk=camera_ray_blk,
+            trace=trace,
+            fetch_material=fetch_material,
+        )
 
     def kernel(frame_ref, *rest):
         if baked is not None:
@@ -776,8 +826,13 @@ def _use_interpret() -> bool:
 
 def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
                    sample0: int = 0, row0=0, local_height=None,
-                   flat: bool = False):
+                   flat: bool = False, tables=None):
     """Shared pallas_call setup/dispatch; returns the raw output planes.
+
+    ``tables``: optional pre-packed (quad_tbl, sph_tbl, mat_tbl, cam_tbl)
+    — the differentiable entry (kernels/backward.py) feeds tables
+    directly so gradients flow through pack_scene's transpose; baking is
+    skipped (a baked scene is a compile-time constant, not a parameter).
 
     ``row0``/``local_height``: render only rows [row0, row0+local_height)
     of the global cfg.height image — the shard_map path passes each
@@ -816,13 +871,21 @@ def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
     import numpy as np
     from jax.core import Tracer
 
-    concrete = not any(
-        isinstance(leaf, Tracer)
-        for leaf in jax.tree.leaves((scene, camera)))
-    bake = bool(getattr(cfg, "bake_scene", False)) and concrete
-
     a = cfg.ambient
-    if bake:
+    if tables is not None:
+        quad_tbl, sph_tbl, mat_tbl, cam_tbl = tables
+        nq, ns, nm = quad_tbl.shape[0], sph_tbl.shape[0], mat_tbl.shape[0]
+        bake = False
+        baked = None
+    else:
+        concrete = not any(
+            isinstance(leaf, Tracer)
+            for leaf in jax.tree.leaves((scene, camera)))
+        bake = bool(getattr(cfg, "bake_scene", False)) and concrete
+
+    if tables is not None:
+        pass
+    elif bake:
         with jax.ensure_compile_time_eval():
             quad_tbl, sph_tbl, mat_tbl = pack_scene(scene)
         nq, ns, nm = quad_tbl.shape[0], sph_tbl.shape[0], mat_tbl.shape[0]
@@ -835,11 +898,7 @@ def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
     else:
         quad_tbl, sph_tbl, mat_tbl = pack_scene(scene)
         nq, ns, nm = quad_tbl.shape[0], sph_tbl.shape[0], mat_tbl.shape[0]
-        cam_tbl = jnp.stack([
-            camera.position.x, camera.position.y, camera.position.z,
-            camera.distance, camera.forward_z,
-            jnp.float32(a[0]), jnp.float32(a[1]), jnp.float32(a[2]),
-        ])
+        cam_tbl = pack_camera(camera, cfg)
         baked = None
 
     gpr = cfg.width // 128 if flat else None
@@ -951,10 +1010,15 @@ def supports_fused_combine(cfg: RenderConfig) -> bool:
     step that keeps the deferred env gather CHANNEL-MAJOR (texture._gather
     writes (4, ...) planar planes directly — the cheapest measured
     consumption path, scripts/combine_paths_bench.py) and, for spp > 1,
-    batches every sample's miss lookups into ONE gather per frame."""
+    runs one kernel + one gather PER SAMPLE combined incrementally (a
+    single batched gather over all samples OOMs; see
+    render_accumulate_pallas). packed4 accumulation keeps the legacy
+    packed-combine path (render_frame_pallas packed=True) — the fused
+    step emits planar Vec3 color only."""
     return (
         cfg.backend == "pallas"
         and cfg.env_mode != "none"
+        and not cfg.packed_accum
         and (cfg.spp == 1 or cfg.rng == "counter")
     )
 

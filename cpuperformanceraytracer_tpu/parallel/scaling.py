@@ -31,16 +31,20 @@ class ScalePoint:
 
 
 def _time_frames(frame_fn, scene, camera, texture, cfg, frames: int) -> float:
+    """Protocol-consistent timing: warmup frames, then MEAN wall-clock
+    ms/frame over a timed span — the reference's offline benchmark
+    protocol (Application.cpp:420-452), matching every other number in
+    the repo (min-of-frames is not comparable to them)."""
     accum = zero_accum(cfg)
-    accum = frame_fn(scene, camera, texture, 0, accum)
-    device_sync(accum)
-    times = []
-    for f in range(1, frames + 1):
-        t0 = time.perf_counter()
+    warm = max(1, cfg.warmup_frames)
+    for f in range(warm):
         accum = frame_fn(scene, camera, texture, f, accum)
-        device_sync(accum)
-        times.append(time.perf_counter() - t0)
-    return min(times) * 1e3
+    device_sync(accum)
+    t0 = time.perf_counter()
+    for f in range(warm, warm + frames):
+        accum = frame_fn(scene, camera, texture, f, accum)
+    device_sync(accum)
+    return (time.perf_counter() - t0) / frames * 1e3
 
 
 def measure_scaling(

@@ -18,17 +18,24 @@ _CLEAR = "\x1b[2J"
 
 
 def _pool(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Mean-pool an (H, W, 3) u8 image to (out_h, out_w, 3) u8."""
+    """Mean-pool an (H, W, 3) u8 image to (out_h, out_w, 3) u8.
+
+    Bins are clamped to width >= 1 so UPSAMPLING (out dims larger than
+    the image) repeats source pixels instead of producing 0/0 NaN cells."""
     h, w = img.shape[:2]
-    ys = (np.arange(out_h + 1) * h // out_h).clip(1, h)
-    xs = (np.arange(out_w + 1) * w // out_w).clip(1, w)
+    ys = np.arange(out_h + 1) * h // out_h
+    xs = np.arange(out_w + 1) * w // out_w
     acc = img.astype(np.float32).cumsum(0).cumsum(1)
     z = np.zeros((1, acc.shape[1], 3), np.float32)
     acc = np.concatenate([z, acc], axis=0)
     z = np.zeros((acc.shape[0], 1, 3), np.float32)
     acc = np.concatenate([z, acc], axis=1)
-    y0, y1 = ys[:-1], ys[1:]
-    x0, x1 = xs[:-1], xs[1:]
+    # per-bin edges clamped to width >= 1 (bins may overlap when
+    # upsampling — the cell then repeats the source pixel)
+    y0 = ys[:-1].clip(0, h - 1)
+    y1 = np.maximum(ys[1:].clip(1, h), y0 + 1)
+    x0 = xs[:-1].clip(0, w - 1)
+    x1 = np.maximum(xs[1:].clip(1, w), x0 + 1)
     s = (acc[y1[:, None], x1[None, :]] - acc[y0[:, None], x1[None, :]]
          - acc[y1[:, None], x0[None, :]] + acc[y0[:, None], x0[None, :]])
     area = ((y1 - y0)[:, None] * (x1 - x0)[None, :]).astype(np.float32)

@@ -6,7 +6,11 @@ shard_map (pixel rows sharded). The worker prints the frame's global
 mean radiance — identical across processes (the mean is a collective) —
 which the parent test compares against a single-process render.
 
-Run: python tests/distributed_worker.py <pid> <nproc> <coordinator>
+Run: python tests/distributed_worker.py <pid> <nproc> <coordinator> [backend]
+
+``backend`` (default "xla") selects the frame kernel; "pallas" runs the
+production megakernel under the multi-process mesh (interpret mode on
+CPU), closing the one untested leg of the multi-chip path.
 """
 
 import os
@@ -21,6 +25,7 @@ jax.config.update("jax_platforms", "cpu")
 
 def main() -> int:
     pid, nproc, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    backend = sys.argv[4] if len(sys.argv) > 4 else "xla"
 
     from cpuperformanceraytracer_tpu.parallel.mesh import init_distributed
 
@@ -35,10 +40,13 @@ def main() -> int:
     from cpuperformanceraytracer_tpu.parallel.shard import sharded_render_frame
     from cpuperformanceraytracer_tpu.scene.presets import scene_by_name
 
+    # pallas: (6, 64) blocks — each of the 4*nproc row shards holds
+    # 48/(4*nproc) rows, which the tile height must divide
     cfg = RenderConfig(width=64, height=48, spp=2, bounces=2,
                        scene="cornell_box", env_mode="none",
                        ambient=(0.1, 0.1, 0.1), jitter=True, rng="counter",
-                       roulette="off", backend="xla")
+                       roulette="off", backend=backend,
+                       tile_height=6, tile_width=64)
     scene, camera = scene_by_name(cfg.scene)
     # host-local jax.Arrays cannot feed a multi-process global shard_map;
     # numpy leaves are accepted as implicitly-replicated inputs

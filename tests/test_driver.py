@@ -127,7 +127,8 @@ def test_flat128_driver_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(b.state.accum.x),
                                np.asarray(a.state.accum.x), atol=1e-6)
     # xla render of the same config must match the flat pallas result
-    xcfg = cfg.replace(backend="xla")
+    # (planar accum: flat128 is a pallas+env-only layout per validate())
+    xcfg = cfg.replace(backend="xla", accum_layout="planar")
     c = OfflineRenderer(xcfg, texture=tex, silent=True)
     c.run()
     from cpuperformanceraytracer_tpu.render.frame import accum_to_vec3

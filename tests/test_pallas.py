@@ -176,6 +176,39 @@ class TestFusedCombine:
                        backend="pallas", tile_height=8,
                        accum_layout="flat128"), frames=2)
 
+    def test_packed4_env_frame_step(self):
+        """Regression (round-3 advisor finding): packed4 accumulation with
+        pallas+env must route around the fused step (which emits planar
+        Vec3 only) and still match the planar path bit-for-bit."""
+        from cpuperformanceraytracer_tpu.kernels.megakernel import (
+            supports_fused_combine,
+        )
+        from cpuperformanceraytracer_tpu.render.frame import (
+            accum_to_vec3,
+            make_frame_fn,
+            zero_accum,
+        )
+
+        cfg = _cfg(scene="glass_spheres", bounces=2, jitter=True,
+                   env_mode="equirect", env_sampling="stochastic",
+                   env_flip_xz=True, backend="pallas",
+                   accum_layout="packed4")
+        assert not supports_fused_combine(cfg)
+        scene, cam = glass_spheres_scene()
+        tex = texture_from_array(gradient_sky(64, 32))
+        step_packed = make_frame_fn(cfg, scene=scene, camera=cam)
+        planar = cfg.replace(accum_layout="planar")
+        step_planar = make_frame_fn(planar, scene=scene, camera=cam)
+        a_pack = zero_accum(cfg)
+        a_plan = zero_accum(planar)
+        for f in range(2):
+            a_pack = step_packed(scene, cam, tex, f, a_pack)
+            a_plan = step_planar(scene, cam, tex, f, a_plan)
+        for c_new, c_old in zip(accum_to_vec3(a_pack, cfg),
+                                accum_to_vec3(a_plan, planar)):
+            np.testing.assert_allclose(np.asarray(c_new), np.asarray(c_old),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_deinterleave_exact(self):
         from cpuperformanceraytracer_tpu.kernels.combine import (
             combine_accumulate,

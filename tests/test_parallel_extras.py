@@ -57,13 +57,19 @@ def test_debug_vis_shapes():
     assert o.shape == (48, 64, 3) and o.max() > 0
 
 
-def test_two_process_distributed_render():
+import pytest
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_two_process_distributed_render(backend):
     """Exercise the REAL multi-host bring-up path: two localhost CPU
     processes through parallel.mesh.init_distributed form one 8-device
     global mesh and render a shard_map'd frame (the work_queue.cpp:17-66
     replacement story, finally multi-process). Each worker prints the
     frame's global mean radiance; both must agree with a single-process
-    render of the same config to float tolerance."""
+    render of the same config to float tolerance. backend="pallas" runs
+    the production megakernel under the multi-process mesh — the exact
+    leg a real multi-chip deployment uses."""
     import os
     import socket
     import subprocess
@@ -92,7 +98,7 @@ def test_two_process_distributed_render():
                          + os.pathsep + env.get("PYTHONPATH", ""))
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", coord],
+            [sys.executable, worker, str(pid), "2", coord, backend],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env)
         for pid in range(2)
