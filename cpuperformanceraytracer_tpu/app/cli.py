@@ -219,6 +219,14 @@ def cmd_bench_grad(a) -> int:
     cfg = _cfg_from_args(a).replace(rng="counter")
     if cfg.backend == "xla":
         cfg = cfg.replace(remat_bounces=True)
+    else:
+        # the round-3 sweep's tuned forward blocks + one early-exit check
+        kw = dict(exit_granularity=8)
+        if cfg.height % 16 == 0:
+            kw["tile_height"] = 16
+        if cfg.width % 128 == 0:
+            kw["tile_width"] = 128
+        cfg = cfg.replace(**kw)
     scene, cam = scene_by_name(cfg.scene)
     tex = _texture_from_args(a)
     target = render_for_params({}, scene, cam, tex, cfg, 0)
@@ -236,19 +244,26 @@ def cmd_bench_grad(a) -> int:
             render_for_params(p, scene, cam, tex, cfg, frame), target)
 
     vg = jax.jit(jax.value_and_grad(loss_fn))
-    loss, grads = vg(params, 0)
-    device_sync(loss)
+    # first executions of a fresh executable run 5-13x slow on the
+    # tunneled backend (docs/PERFORMANCE.md protocol notes): warm until
+    # steady state before timing
+    for w in range(4):
+        loss, grads = vg(params, 0)
+        device_sync(loss)
 
     steps = a.steps
-    # chain the steps through a carried gradient sum so the timed loop
-    # is one dependent chain, joined by a single device_sync
-    carry = grads
+    # steps are enqueued back-to-back and executed in order on the one
+    # chip; the final sync is the barrier for the whole queue. (A
+    # host-side carried gradient sum here was measured to add ~150
+    # ms/step of pure dispatch overhead on the tunneled backend —
+    # scripts/profile_backward.py.)
     t0 = time.perf_counter()
     for i in range(steps):
         loss, grads = vg(params, i + 1)
-        carry = jax.tree.map(lambda c, g: c + g, carry, grads)
     device_sync(loss)
+    device_sync(grads)
     ms = (time.perf_counter() - t0) / steps * 1e3
+    carry = grads
     rays = cfg.width * cfg.height * cfg.spp
     print(json.dumps({
         "metric": "fwd_bwd_ms_per_step",
@@ -291,7 +306,7 @@ def cmd_inverse(a) -> int:
     log = get_logger(silent=a.silent)
     prob = InverseProblem(scene, cam, tex, cfg, target)
     params, losses = adam_inverse_render(prob, init, steps=a.steps,
-                                         learning_rate=a.lr,
+                                         learning_rate=a.lr, eps=a.eps,
                                          log_every=10, logger=log)
     print(f"inverse render: loss {losses[0]:.5f} -> {losses[-1]:.5f}; "
           f"albedo err {float(np.abs(params['albedo'] - albedo).max()):.4f}; "
@@ -323,6 +338,10 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--eps", type=float, default=1e-8,
+                   help="Adam epsilon; ~1e-2 acts as a gradient noise "
+                        "floor for geometry recovery (see "
+                        "diff.inverse.adam_inverse_render)")
     p.set_defaults(fn=cmd_inverse)
 
     p = sub.add_parser("bench-grad",
