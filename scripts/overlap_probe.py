@@ -45,7 +45,8 @@ P = W * H
 
 
 def timed(name, fn, *args, n=16):
-    out = fn(*args)
+    for _ in range(6):
+        out = fn(*args)
     device_sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
@@ -68,40 +69,77 @@ def p1_xla_overlap():
     scene, cam = glass_spheres_scene()
     tex = load_texture("/root/reference/Textures/HDR_040_Field_Env.hdr")
 
-    rng = np.random.RandomState(0)
-    idx = jnp.asarray(rng.randint(0, tex.width * tex.height, size=(H, W)),
-                      jnp.int32)
+    # REAL miss indices from a rendered frame (spatially coherent — the
+    # gather engine runs ~6x faster on them than on uniform-random
+    # indices, so the bound must be stated against the real pattern)
+    from cpuperformanceraytracer_tpu.core.vecmath import Vec3
+    from cpuperformanceraytracer_tpu.kernels.megakernel import _pallas_render
+    from cpuperformanceraytracer_tpu.texture.texture import (
+        env_texel_flat_index,
+    )
+
+    ecfg = cfg.replace(env_mode="equirect")
+    outs = _pallas_render(scene, cam, tex, ecfg, 3)
+    (_, _, _, mdx, mdy, mdz, _, _, _, jr, jc, _) = outs
+    idx = env_texel_flat_index(tex, Vec3(mdx, mdy, mdz), ecfg, jr, jc)
+
+    from cpuperformanceraytracer_tpu.texture.texture import Texture
+
+    def retex(tr, tg, tb):
+        # the texel planes MUST be jit ARGUMENTS: a closed-over table is
+        # constant-folded into a layout the gather engine runs 3x slower
+        # against (measured 11.7 vs 3.9 ms at 921600 queries)
+        return Texture(r=tr, g=tg, b=tb, width=tex.width, height=tex.height)
 
     def kernel_only(frame):
         c = render_frame_pallas(scene, cam, None, cfg, frame)
         return c.x.sum()
 
-    def gather_only(idx):
-        e = _gather(tex, idx)
+    def gather_only(idx, tr, tg, tb):
+        e = _gather(retex(tr, tg, tb), idx)
         return e.x.sum()
 
-    def both_independent(frame, idx):
+    def both_independent(frame, idx, tr, tg, tb):
         # no data dependency between the two — if the core could overlap
         # the gather engine with the VPU kernel, total < sum
         c = render_frame_pallas(scene, cam, None, cfg, frame)
-        e = _gather(tex, idx)
+        e = _gather(retex(tr, tg, tb), idx)
         return c.x.sum() + e.x.sum()
 
+    # fixed per-invocation dispatch overhead (tunneled backend): timing
+    # two separate executables double-counts it, so calibrate with a
+    # trivial op and subtract before judging overlap
+    h = timed("P1 trivial op (dispatch overhead)",
+              jax.jit(lambda x: x + 1.0), jnp.float32(0.0))
     k = timed("P1 megakernel alone (no-env fwd)",
               jax.jit(kernel_only), jnp.int32(3))
     g = timed("P1 env gather alone (921600 queries)",
-              jax.jit(gather_only), idx)
+              jax.jit(gather_only), idx, tex.r, tex.g, tex.b)
     b = timed("P1 both, independent, one jit",
-              jax.jit(both_independent), jnp.int32(3), idx)
-    print(f"P1 sum of parts {k + g:.3f} ms vs together {b:.3f} ms "
-          f"-> overlap {'YES' if b < 0.85 * (k + g) else 'NO'} "
-          f"({(k + g - b) / max(k + g, 1e-9) * 100:.1f}% hidden)")
+              jax.jit(both_independent), jnp.int32(3), idx,
+              tex.r, tex.g, tex.b)
+    print(f"P1 raw: trivial {h:.3f} | kernel {k:.3f} | gather {g:.3f} | "
+          f"together {b:.3f} ms")
+    print("P1 note: per-invocation overhead is NOT purely additive (the "
+          "trivial op costs as much as a kernel call), so judge overlap "
+          "from the xprof stage table instead: scripts/profile_frame.py "
+          "shows the while-loop total EQUALS the sum of its child ops "
+          "(gather 1.656 + kernel 1.433 + retile 0.625 + misc = 3.79 "
+          "~= while 3.828 ms/frame) — a one-op-at-a-time timeline with "
+          "no overlap. 'Together' here saves only one invocation's "
+          "dispatch overhead vs 'parts', confirming the same.")
 
 
 def p2_dma_descriptor_cost():
-    """N scalar-indexed 16 B row DMAs from an HBM table into VMEM."""
+    """N scalar-indexed row DMAs from an HBM table into VMEM.
+
+    Rows are 128 lanes (512 B) — the DMA-friendliest row shape, i.e. an
+    UPPER bound on per-texel-DMA viability (real texel rows are 16 B).
+    A 16 B-row variant does not even lower (tpu.memref_slice assertion
+    on the lane-padded table), which is recorded by the except below
+    when it applies."""
     T = 131072
-    table = jnp.asarray(np.random.rand(T, 8).astype(np.float32))  # 32 B rows
+    table = jnp.asarray(np.random.rand(T, 128).astype(np.float32))
 
     def make(n_dma):
         def kern(idx_ref, tbl_ref, out_ref, buf, sem):
@@ -123,19 +161,24 @@ def p2_dma_descriptor_cost():
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((8, 8), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((8, 8), jnp.float32),
-                            pltpu.SemaphoreType.DMA],
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32),
+                            pltpu.SemaphoreType.DMA(())],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )
 
     idx = jnp.asarray(np.random.randint(0, T, size=4096), jnp.int32)
     for n_dma in (256, 1024, 4096):
-        call = make(n_dma)
-        ms = timed(f"P2 {n_dma} scalar-row DMAs (serial)",
-                   jax.jit(lambda i: call(i, table).sum()), idx, n=8)
-        print(f"P2   -> {ms * 1e6 / n_dma:.0f} ns/descriptor "
-              f"(gather engine: ~1.8 ns/query)")
+        try:
+            call = make(n_dma)
+            ms = timed(f"P2 {n_dma} scalar-row DMAs (serial)",
+                       jax.jit(lambda i: call(i, table).sum()), idx, n=8)
+            print(f"P2   -> {ms * 1e6 / n_dma:.0f} ns/descriptor "
+                  f"(gather engine: ~1.8 ns/query)")
+        except Exception as e:  # noqa: BLE001 — the failure IS the result
+            print(f"P2 {n_dma} scalar-row DMAs: DOES NOT LOWER — "
+                  f"{type(e).__name__}: {str(e)[:200]}")
+            break
 
 
 def p3_mosaic_vmem_gather():
