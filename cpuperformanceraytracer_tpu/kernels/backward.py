@@ -83,19 +83,26 @@ def _bwd_tiles(cfg: RenderConfig):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_bwd_call(cfg: RenderConfig, nq: int, ns: int, nm: int):
+def _make_bwd_call(cfg: RenderConfig, nq: int, ns: int, nm: int,
+                   local_h: int = 0):
     """Build the cached backward pallas_call for static (cfg, sizes).
 
     Returns fn(scalars, quad_tbl, sph_tbl, mat_tbl, cam_tbl, cot6) ->
     (n_blocks, T_rows, bw) per-block parameter-cotangent partials, where
     rows are [quad cells, sphere cells, material cells, ambient(3),
     camera(5)] and the caller reduces over (blocks, lanes).
+
+    ``local_h``: rows handled by THIS invocation (a shard's pixel-row
+    window under shard_map; 0 = full height). The scalars' row0 entry
+    names the window's first global row — camera math and RNG seeds are
+    global-pixel quantities, exactly like the forward kernel.
     """
     cfg = cfg.validate()
     if cfg.rng != "counter":
         raise ValueError("backward megakernel requires rng='counter' "
                          "(addressable per-sample streams for replay)")
-    bh, bw = _bwd_tiles(cfg)
+    local_h = local_h or cfg.height
+    bh, bw = _bwd_tiles(cfg.replace(height=local_h))
     height, width = cfg.height, cfg.width
     n_segments = cfg.bounces + 1
     parts = _make_kernel(cfg, nq, ns, nm, bh, bw, baked=None,
@@ -295,7 +302,7 @@ def _make_bwd_call(cfg: RenderConfig, nq: int, ns: int, nm: int):
             dtheta_out[0, t_pl + i:t_pl + i + 1, :] = jnp.where(
                 lane1 == 0, d_cam5[i], 0.0)
 
-    gh, gw = height // bh, width // bw
+    gh, gw = local_h // bh, width // bw
     n_blocks = gh * gw
 
     def smem(shape):
@@ -331,13 +338,13 @@ def _make_bwd_call(cfg: RenderConfig, nq: int, ns: int, nm: int):
 
 
 def _bwd_tables(cfg, quad_tbl, sph_tbl, mat_tbl, cam_tbl, frame, sample0,
-                cot6):
+                cot6, row0=0, local_h=0):
     """Run the backward kernel and reduce partials to table cotangents."""
     nq, ns, nm = quad_tbl.shape[0], sph_tbl.shape[0], mat_tbl.shape[0]
     run, (t_quad, t_sph, t_mat, t_tab, t_pl, _) = _make_bwd_call(
-        cfg, nq, ns, nm)
+        cfg, nq, ns, nm, local_h)
     scalars = jnp.stack([jnp.asarray(frame, jnp.int32).reshape(()),
-                         jnp.asarray(0, jnp.int32).reshape(()),
+                         jnp.asarray(row0, jnp.int32).reshape(()),
                          jnp.asarray(sample0, jnp.int32).reshape(())])
     partials = run(scalars, quad_tbl, sph_tbl, mat_tbl, cam_tbl, cot6)
     flat = jnp.sum(partials, axis=(0, 2))  # (t_rows,)
@@ -356,12 +363,15 @@ def _bwd_tables(cfg, quad_tbl, sph_tbl, mat_tbl, cam_tbl, frame, sample0,
 
 
 @functools.lru_cache(maxsize=None)
-def _diff_sample_fn(cfg: RenderConfig, tex_n: int):
+def _diff_sample_fn(cfg: RenderConfig, tex_n: int, local_h: int = 0):
     """Differentiable single-sample render over packed tables.
 
     ``tex_n``: flat env texel count (0 = no env texture). Returns
-    fn(quad, sph, mat, cam, tex_r, tex_g, tex_b, frame, sample0)
-    -> (r, g, b) planes. frame/sample0 are non-differentiable int32.
+    fn(quad, sph, mat, cam, tex_r, tex_g, tex_b, frame, sample0, row0)
+    -> (r, g, b) planes. frame/sample0/row0 are non-differentiable
+    int32. ``local_h``: this invocation's pixel-row window (a shard's
+    rows under shard_map; 0 = full frame), with row0 naming the window's
+    first global row.
     """
     cfg = cfg.validate().replace(spp=1, bake_scene=False)
     if cfg.env_mode != "none" and cfg.env_sampling == "bilinear":
@@ -386,9 +396,10 @@ def _diff_sample_fn(cfg: RenderConfig, tex_n: int):
         w, h = cfg.env_tex_shape
         return Texture(r=tr, g=tg, b=tb, width=w, height=h)
 
-    def forward(quad, sph, mat, cam, tr, tg, tb, frame, sample0):
+    def forward(quad, sph, mat, cam, tr, tg, tb, frame, sample0, row0):
         outs = _pallas_render(None, None, None, cfg, frame,
-                              sample0=sample0,
+                              sample0=sample0, row0=row0,
+                              local_height=local_h or None,
                               tables=(quad, sph, mat, cam))
         (r, g, b, mdx, mdy, mdz, mtx, mty, mtz, jr, jc, missed) = outs
         if cfg.env_mode == "none":
@@ -400,16 +411,17 @@ def _diff_sample_fn(cfg: RenderConfig, tex_n: int):
         return color, (idx, (mtx, mty, mtz), (env.x, env.y, env.z))
 
     @jax.custom_vjp
-    def sample(quad, sph, mat, cam, tr, tg, tb, frame, sample0):
-        return forward(quad, sph, mat, cam, tr, tg, tb, frame, sample0)[0]
+    def sample(quad, sph, mat, cam, tr, tg, tb, frame, sample0, row0):
+        return forward(quad, sph, mat, cam, tr, tg, tb, frame, sample0,
+                       row0)[0]
 
-    def sample_fwd(quad, sph, mat, cam, tr, tg, tb, frame, sample0):
+    def sample_fwd(quad, sph, mat, cam, tr, tg, tb, frame, sample0, row0):
         color, env_res = forward(quad, sph, mat, cam, tr, tg, tb, frame,
-                                 sample0)
-        return color, (quad, sph, mat, cam, env_res, frame, sample0)
+                                 sample0, row0)
+        return color, (quad, sph, mat, cam, env_res, frame, sample0, row0)
 
     def sample_bwd(res, g):
-        quad, sph, mat, cam, env_res, frame, sample0 = res
+        quad, sph, mat, cam, env_res, frame, sample0, row0 = res
         gx, gy, gz = g
         if env_res is None:
             cot6 = (gx, gy, gz, jnp.zeros_like(gx), jnp.zeros_like(gy),
@@ -429,16 +441,18 @@ def _diff_sample_fn(cfg: RenderConfig, tex_n: int):
                  (gz * mtz).reshape(-1)),
                 tex_n)
         d_quad, d_sph, d_mat, d_cam = _bwd_tables(
-            cfg, quad, sph, mat, cam, frame, sample0, cot6)
+            cfg, quad, sph, mat, cam, frame, sample0, cot6,
+            row0=row0, local_h=local_h)
         return (d_quad, d_sph, d_mat, d_cam,
-                d_tex[0], d_tex[1], d_tex[2], None, None)
+                d_tex[0], d_tex[1], d_tex[2], None, None, None)
 
     sample.defvjp(sample_fwd, sample_bwd)
     return sample
 
 
 def render_frame_pallas_diff(scene, camera, texture, cfg: RenderConfig,
-                             frame, spp_offset: int = 0) -> Vec3:
+                             frame, spp_offset=0, row0=0,
+                             local_height=None, spp_count=None) -> Vec3:
     """Differentiable Pallas frame render: forward = the megakernel +
     deferred env combine; backward = the adjoint megakernel + sorted
     env segment-sum. Drop-in for render_frame inside jax.grad when
@@ -446,7 +460,10 @@ def render_frame_pallas_diff(scene, camera, texture, cfg: RenderConfig,
 
     spp > 1 runs one differentiable sample dispatch per sample (counter
     streams are per-sample addressable; cotangents sum across samples
-    automatically)."""
+    automatically). ``spp_offset``/``row0``/``local_height``/
+    ``spp_count``: sharding hooks mirroring render_frame_pallas —
+    parallel.shard.sharded_render_frame_diff passes axis-index-derived
+    values; spp_offset/row0 may be traced."""
     cfg = cfg.validate()
     if texture is not None and cfg.env_mode != "none":
         tex_n = texture.width * texture.height
@@ -458,14 +475,16 @@ def render_frame_pallas_diff(scene, camera, texture, cfg: RenderConfig,
         tr = tg = tb = z
     quad, sph, mat = pack_scene(scene)
     cam = pack_camera(camera, cfg)
-    fn = _diff_sample_fn(cfg.replace(spp=1), tex_n)
+    n_spp = spp_count if spp_count is not None else cfg.spp
+    fn = _diff_sample_fn(cfg.replace(spp=1), tex_n, local_height or 0)
 
     acc = None
-    for s in range(cfg.spp):
+    for s in range(n_spp):
         r, g, b = fn(quad, sph, mat, cam, tr, tg, tb,
                      jnp.asarray(frame, jnp.int32),
-                     jnp.asarray(spp_offset + s, jnp.int32))
+                     jnp.asarray(spp_offset, jnp.int32) + s,
+                     jnp.asarray(row0, jnp.int32))
         acc = (r, g, b) if acc is None else (acc[0] + r, acc[1] + g,
                                              acc[2] + b)
-    inv = 1.0 / cfg.spp
+    inv = 1.0 / n_spp
     return Vec3(acc[0] * inv, acc[1] * inv, acc[2] * inv)

@@ -112,6 +112,70 @@ def sharded_render_frame(scene, camera, texture, cfg: RenderConfig, frame,
     return Vec3(planes[0], planes[1], planes[2])
 
 
+def sharded_render_frame_diff(scene, camera, texture, cfg: RenderConfig,
+                              frame, mesh: Mesh) -> Vec3:
+    """DIFFERENTIABLE sharded frame: the multi-chip training path.
+
+    Forward: each shard runs the Pallas megakernel + env combine on its
+    pixel-row window ("px") and sample window ("spp", psum-reduced).
+    Backward: each shard runs the adjoint megakernel
+    (kernels/backward.py) on its own rows; scene/texture/camera
+    parameter cotangents ALL-REDUCE over ICI automatically through the
+    shard_map transpose (replicated inputs transpose to psum) — the
+    gradient collective the north star asks for, with no hand-written
+    communication. Requires cfg.backend == "pallas" and rng "counter".
+    """
+    n_px = mesh.shape.get("px", 1)
+    n_spp = mesh.shape.get("spp", 1)
+    if cfg.height % n_px:
+        raise ValueError(f"height {cfg.height} not divisible by px shards {n_px}")
+    if cfg.spp % n_spp:
+        raise ValueError(f"spp {cfg.spp} not divisible by spp shards {n_spp}")
+    if cfg.rng != "counter":
+        raise ValueError('sharded diff rendering requires rng="counter"')
+    spp_local = cfg.spp // n_spp
+    h_local = cfg.height // n_px
+
+    scene_spec = _replicated_like(scene)
+    camera_spec = _replicated_like(camera)
+    texture_spec = _replicated_like(texture) if texture is not None else None
+    # Texture's width/height ride the pytree as leaves and arrive traced
+    # inside shard_map; the diff path needs them STATIC (they size the
+    # backward kernel) — capture the python ints here
+    tex_dims = (None if texture is None
+                else (int(texture.width), int(texture.height)))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(scene_spec, camera_spec, texture_spec, P()),
+        out_specs=P(None, "px", None),
+        check_vma=False,
+    )
+    def shard_fn(scene, camera, texture, frame):
+        from cpuperformanceraytracer_tpu.kernels.backward import (
+            render_frame_pallas_diff,
+        )
+
+        if texture is not None:
+            texture = texture._replace(width=tex_dims[0], height=tex_dims[1])
+        spp_idx = lax.axis_index("spp") if n_spp > 1 else 0
+        row0 = (lax.axis_index("px") * h_local) if n_px > 1 else 0
+        color = render_frame_pallas_diff(
+            scene, camera, texture, cfg, frame,
+            spp_offset=spp_idx * spp_local, row0=row0,
+            local_height=h_local if n_px > 1 else None,
+            spp_count=spp_local,
+        )
+        planes = jnp.stack([color.x, color.y, color.z])
+        if n_spp > 1:
+            planes = lax.psum(planes, "spp") / n_spp
+        return planes
+
+    planes = shard_fn(scene, camera, texture, jnp.asarray(frame, jnp.uint32))
+    return Vec3(planes[0], planes[1], planes[2])
+
+
 def make_sharded_frame_fn(cfg: RenderConfig, mesh: Mesh):
     """Jitted sharded progressive step:
     (scene, camera, texture, frame, accum) -> accum'."""

@@ -210,6 +210,42 @@ class TestPallasGradParity:
             assert abs(na - nb) <= 0.05 * max(na, 1e-6) + 1e-6, (
                 key, na, nb)
 
+    def test_sharded_diff_grads_match_unsharded(self, devices8):
+        """The multi-chip training path: px-row + spp sharded forward
+        with the adjoint megakernel per shard; parameter grads
+        all-reduce through the shard_map transpose and must equal the
+        unsharded gradients."""
+        from jax.sharding import Mesh
+
+        from cpuperformanceraytracer_tpu.parallel.shard import (
+            sharded_render_frame_diff,
+        )
+
+        scene, cam = _diffuse_sky_scene()
+        tex = texture_from_array(gradient_sky(32, 16))
+        cfg = _cfg(height=64, spp=2)
+        mesh = Mesh(np.asarray(devices8).reshape(4, 2), ("px", "spp"))
+        params = _params(scene, tex)
+        target = render_for_params(
+            {}, scene, cam, tex, cfg.replace(backend="xla"), 0)
+
+        from cpuperformanceraytracer_tpu.diff.grad import apply_params
+
+        def loss_sharded(p):
+            s, t = apply_params(scene, tex, p)
+            img = sharded_render_frame_diff(s, cam, t, cfg, 1, mesh)
+            return image_loss(img, target)
+
+        lu, gu = _grads(cfg, scene, cam, tex, params, target)  # unsharded
+        ls, gs = jax.value_and_grad(loss_sharded)(params)
+
+        np.testing.assert_allclose(float(ls), float(lu), rtol=1e-5)
+        for key in params:
+            a, b = np.asarray(gu[key]), np.asarray(gs[key])
+            scale = max(np.abs(a).max(), 1e-6)
+            np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5 * scale,
+                                       err_msg=key)
+
     def test_wang_rng_rejected(self):
         from cpuperformanceraytracer_tpu.kernels.backward import (
             render_frame_pallas_diff,
