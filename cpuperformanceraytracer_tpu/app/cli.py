@@ -99,13 +99,34 @@ def cmd_render(a) -> int:
     return 0
 
 
+def _poll_keys() -> str:
+    """Non-blocking read of any pending stdin characters (returns ''
+    when stdin is not a tty or nothing is pending)."""
+    import os
+    import select
+    import sys
+
+    if not sys.stdin.isatty():
+        return ""
+    keys = ""
+    while select.select([sys.stdin], [], [], 0)[0]:
+        ch = os.read(sys.stdin.fileno(), 1).decode(errors="ignore")
+        if not ch:
+            break
+        keys += ch
+    return keys
+
+
 def cmd_watch(a) -> int:
     """Progressive render with a live view: rewrite the output file every
     --interval frames and (with --live) draw the current accumulation in
     the terminal with a per-frame stats line — the TPU-native analog of
     the reference's interactive window + title-bar frame times
-    (Application.cpp:196-379, 308-335)."""
+    (Application.cpp:196-379, 308-335). Keys during the loop (tty only):
+    's' dumps a timestamped screenshot (the reference's 's' key,
+    Application.cpp:603-623); 'q' stops the watch."""
     import collections
+    import contextlib
     import time
 
     from cpuperformanceraytracer_tpu.render.driver import OfflineRenderer, RenderState
@@ -128,30 +149,60 @@ def cmd_watch(a) -> int:
     device_sync(r.state.accum)
     r.state = keep
 
+    # put the tty in cbreak so single keypresses arrive without Enter
+    # (restored on exit); no-op when stdin is not a tty
+    import sys
+
+    @contextlib.contextmanager
+    def _cbreak():
+        if not sys.stdin.isatty():
+            yield
+            return
+        import termios
+        import tty
+
+        old = termios.tcgetattr(sys.stdin.fileno())
+        try:
+            tty.setcbreak(sys.stdin.fileno())
+            yield
+        finally:
+            termios.tcsetattr(sys.stdin.fileno(), termios.TCSADRAIN, old)
+
     # true 30-frame rolling window, as the reference's title bar
     # (Application.cpp:308-335: mean over the last 30 frames)
     window = collections.deque(maxlen=30)
     first = True
-    for i in range(0, cfg.num_frames, a.interval):
-        todo = min(a.interval, cfg.num_frames - i)
-        t0 = time.perf_counter()
-        r.step_k(todo)
-        device_sync(r.state.accum)
-        per_frame = (time.perf_counter() - t0) / todo * 1e3
-        window.extend([per_frame] * todo)
-        roll_ms = sum(window) / len(window)
-        done = i + todo
-        r.write_image(a.output)
-        stats = (f"frame {done}/{cfg.num_frames} | {roll_ms:7.2f} ms/frame | "
-                 f"{1e3 / roll_ms:6.1f} fps | "
-                 f"{rays / roll_ms / 1e3:7.1f} Mrays/s | {a.output}")
-        if a.live:
-            from cpuperformanceraytracer_tpu.utils.term_view import live_view
+    note = ""
+    with _cbreak():
+        for i in range(0, cfg.num_frames, a.interval):
+            todo = min(a.interval, cfg.num_frames - i)
+            t0 = time.perf_counter()
+            r.step_k(todo)
+            device_sync(r.state.accum)
+            per_frame = (time.perf_counter() - t0) / todo * 1e3
+            window.extend([per_frame] * todo)
+            roll_ms = sum(window) / len(window)
+            done = i + todo
+            r.write_image(a.output)
+            keys = _poll_keys()
+            if "s" in keys:
+                note = f" | screenshot: {r.screenshot()}"
+            stats = (f"frame {done}/{cfg.num_frames} | "
+                     f"{roll_ms:7.2f} ms/frame | {1e3 / roll_ms:6.1f} fps | "
+                     f"{rays / roll_ms / 1e3:7.1f} Mrays/s | "
+                     f"{a.output}{note}")
+            if a.live:
+                from cpuperformanceraytracer_tpu.utils.term_view import (
+                    live_view,
+                )
 
-            print(live_view(r.image_u8(), stats, first=first), flush=True)
-            first = False
-        elif not a.silent:
-            print(stats, flush=True)
+                print(live_view(r.image_u8(), stats, first=first),
+                      flush=True)
+                first = False
+            elif not a.silent:
+                print(stats, flush=True)
+            if "q" in keys:
+                break
     return 0
 
 

@@ -70,10 +70,17 @@ _MISS_THR = 16  # miss throughput .xyz at 16..18
 _NF32 = 22
 
 
+import os
+
+
 def _bwd_tiles(cfg: RenderConfig):
     """Backward block shape: (8, 128) preferred (VMEM headroom for the
-    per-segment state store), falling back to the config's tiles."""
-    bh = 8 if cfg.height % 8 == 0 else cfg.tile_height
+    per-segment state store), falling back to the config's tiles.
+    BWD_TILE_H overrides for A/B experiments (e.g. 16 halves the grid
+    at ~2x the scratch footprint)."""
+    pref_h = int(os.environ.get("BWD_TILE_H", "8"))
+    bh = pref_h if cfg.height % pref_h == 0 else (
+        8 if cfg.height % 8 == 0 else cfg.tile_height)
     bw = 128 if cfg.width % 128 == 0 else cfg.tile_width
     if cfg.height % bh or cfg.width % bw:
         raise ValueError(
