@@ -183,6 +183,27 @@ class TestInverse:
         obs = list(range(3)) + [4, 5, 6]
         assert np.abs(rec[obs] - want[obs]).max() < 0.05
 
+    def test_fused_dispatch_matches_per_step(self):
+        """K optimizer steps fused into one dispatch (lax.scan) must
+        follow the per-step host loop's trajectory."""
+        scene, cam = cornell_box_scene()
+        cfg = _cfg(width=32, height=24, spp=2)
+        true_albedo = _stack3(scene.materials.albedo)
+        target = render_for_params({}, scene, cam, None, cfg, 0)
+        init = {"albedo": jnp.clip(true_albedo + 0.2, 0, 1)}
+        prob = InverseProblem(scene, cam, None, cfg, target)
+
+        p1, l1 = adam_inverse_render(prob, init, steps=10,
+                                     learning_rate=0.02,
+                                     steps_per_dispatch=1)
+        p4, l4 = adam_inverse_render(prob, init, steps=10,
+                                     learning_rate=0.02,
+                                     steps_per_dispatch=4)  # 4+4+2 tail
+        np.testing.assert_allclose(l4, l1, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(p4["albedo"]),
+                                   np.asarray(p1["albedo"]),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_sphere_position_recovery(self):
         """Geometry recovery needs smooth geometry gradients -> glass
         scene with a smooth (bilinear) env map: refraction makes interior
