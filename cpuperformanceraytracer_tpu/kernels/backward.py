@@ -473,6 +473,13 @@ def render_frame_pallas_diff(scene, camera, texture, cfg: RenderConfig,
     values; spp_offset/row0 may be traced."""
     cfg = cfg.validate()
     if texture is not None and cfg.env_mode != "none":
+        if not isinstance(texture.width, int):
+            # under shard_map the NamedTuple's dims arrive traced; the
+            # diff path needs them static (they size the backward kernel)
+            raise ValueError(
+                "diff path needs static texture.width/height — inside "
+                "shard_map restore them from the enclosing scope (see "
+                "parallel.shard.sharded_render_frame_diff)")
         tex_n = texture.width * texture.height
         cfg = cfg.replace(env_tex_shape=(texture.width, texture.height))
         tr, tg, tb = texture.r, texture.g, texture.b
