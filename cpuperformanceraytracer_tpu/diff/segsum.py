@@ -50,14 +50,26 @@ def segment_sum_sorted(idx: jnp.ndarray,
     targets = jnp.arange(num_segments, dtype=jnp.int32)
     ends = jnp.searchsorted(sidx, targets, side="right", method="sort")
 
-    outs = []
-    for sv in svals:
-        csum = _cumsum_blocked(sv)
-        padded = jnp.concatenate([jnp.zeros((1,), sv.dtype), csum])
-        c_at = jnp.take(padded, ends)
-        prev = jnp.concatenate([jnp.zeros((1,), sv.dtype), c_at[:-1]])
-        outs.append(c_at - prev)
-    return tuple(outs)
+    # one channel-major boundary gather for ALL channels: operand
+    # (C, P+1) with offset_dims=(0,) writes planar (C, T) directly —
+    # the same trick as texture._gather; three separate 1-D takes
+    # measured 0.94 ms EACH at T=131072 (xprof, BASELINE.md) vs ~0.25
+    # for the batched form
+    padded = jnp.stack(
+        [jnp.concatenate([jnp.zeros((1,), sv.dtype), _cumsum_blocked(sv)])
+         for sv in svals], axis=0)  # (C, P+1)
+    c_at = jax.lax.gather(
+        padded, ends[:, None],
+        dimension_numbers=jax.lax.GatherDimensionNumbers(
+            offset_dims=(0,), collapsed_slice_dims=(1,),
+            start_index_map=(1,)),
+        slice_sizes=(len(svals), 1),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (C, T)
+    prev = jnp.concatenate(
+        [jnp.zeros((len(svals), 1), padded.dtype), c_at[:, :-1]], axis=1)
+    out = c_at - prev
+    return tuple(out[c] for c in range(len(svals)))
 
 
 def _cumsum_blocked(x: jnp.ndarray, lanes: int = 128) -> jnp.ndarray:
