@@ -172,9 +172,9 @@ def cmd_watch(a) -> int:
     # (Application.cpp:308-335: mean over the last 30 frames)
     window = collections.deque(maxlen=30)
     first = True
-    note = ""
     with _cbreak():
         for i in range(0, cfg.num_frames, a.interval):
+            note = ""  # per-interval: a screenshot is announced once
             todo = min(a.interval, cfg.num_frames - i)
             t0 = time.perf_counter()
             r.step_k(todo)
@@ -244,7 +244,8 @@ def cmd_bench(a) -> int:
 
 def cmd_bench_grad(a) -> int:
     """Timed fwd+bwd (value_and_grad of the L2 pixel loss) at a stated
-    workload — the backward-pass throughput metric BASELINE.md reports.
+    workload — the backward-pass throughput metric bench.py and
+    BASELINE.md report.
 
     Gradients flow to the full differentiable surface (sphere centers,
     albedos, env texels). --backend pallas (the production path) uses
@@ -252,20 +253,14 @@ def cmd_bench_grad(a) -> int:
     replay + sorted env segment-sum); --backend xla uses the oracle
     integrator with path-replay rematerialization (diff/path_replay.py).
     The loop being differentiated is the reference bounce loop,
-    demofox_path_tracing_optimization_v4.cpp:722-910.
+    demofox_path_tracing_optimization_v4.cpp:722-910; the measurement
+    protocol (warmup + mean over fixed spans, K steps fused per
+    dispatch) lives in diff/benchgrad.py.
     """
     import json
-    import time
 
-    import jax
-    import jax.numpy as jnp
-
-    from cpuperformanceraytracer_tpu.diff.grad import (
-        image_loss,
-        render_for_params,
-    )
+    from cpuperformanceraytracer_tpu.diff.benchgrad import fwd_bwd_benchmark
     from cpuperformanceraytracer_tpu.scene.presets import scene_by_name
-    from cpuperformanceraytracer_tpu.utils.timing import device_sync
 
     cfg = _cfg_from_args(a).replace(rng="counter")
     if cfg.backend == "xla":
@@ -280,53 +275,17 @@ def cmd_bench_grad(a) -> int:
         cfg = cfg.replace(**kw)
     scene, cam = scene_by_name(cfg.scene)
     tex = _texture_from_args(a)
-    target = render_for_params({}, scene, cam, tex, cfg, 0)
 
-    albedo = jnp.stack([scene.materials.albedo.x, scene.materials.albedo.y,
-                        scene.materials.albedo.z], -1)
-    centers = jnp.stack([scene.spheres.center.x, scene.spheres.center.y,
-                         scene.spheres.center.z], -1)
-    params = {"albedo": albedo + 0.05, "sphere_centers": centers + 0.1}
-    if tex is not None:
-        params["env_rgb"] = jnp.stack([tex.r, tex.g, tex.b], -1)
-
-    def loss_fn(p, frame):
-        return image_loss(
-            render_for_params(p, scene, cam, tex, cfg, frame), target)
-
-    vg = jax.jit(jax.value_and_grad(loss_fn))
-    # first executions of a fresh executable run 5-13x slow on the
-    # tunneled backend (docs/PERFORMANCE.md protocol notes): warm until
-    # steady state before timing
-    for w in range(4):
-        loss, grads = vg(params, 0)
-        device_sync(loss)
-
-    steps = a.steps
-    # steps are enqueued back-to-back and executed in order on the one
-    # chip; the final sync is the barrier for the whole queue. (A
-    # host-side carried gradient sum here was measured to add ~150
-    # ms/step of pure dispatch overhead on the tunneled backend —
-    # scripts/profile_backward.py.)
-    t0 = time.perf_counter()
-    for i in range(steps):
-        loss, grads = vg(params, i + 1)
-    device_sync(loss)
-    device_sync(grads)
-    ms = (time.perf_counter() - t0) / steps * 1e3
-    carry = grads
-    rays = cfg.width * cfg.height * cfg.spp
-    print(json.dumps({
+    result = fwd_bwd_benchmark(cfg, scene, cam, tex, steps=a.steps,
+                               steps_per_dispatch=a.steps_per_dispatch)
+    out = {
         "metric": "fwd_bwd_ms_per_step",
         "config": f"{cfg.width}x{cfg.height} spp{cfg.spp} "
                   f"b{cfg.bounces} env={cfg.env_mode} {cfg.backend}",
-        "ms_per_step": round(ms, 3),
-        "fwd_bwd_Mrays_per_s": round(rays / ms / 1e3, 2),
-        "param_leaves": sorted(params),
-        "loss": float(loss),
-        "grads_finite": bool(all(
-            bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(carry))),
-    }))
+    }
+    out.update({k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in result.items()})
+    print(json.dumps(out))
     return 0
 
 
@@ -398,7 +357,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench-grad",
                        help="timed fwd+bwd (value_and_grad) throughput")
     _add_common(p)
-    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--steps", type=int, default=64)
+    p.add_argument("--steps-per-dispatch", type=int, default=16,
+                   help="K value_and_grad steps fused per device "
+                        "dispatch (diff/benchgrad.make_grad_step_k)")
     p.set_defaults(fn=cmd_bench_grad)
 
     a = ap.parse_args(argv)

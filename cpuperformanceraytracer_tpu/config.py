@@ -120,6 +120,12 @@ class RenderConfig:
     # parameters there, so the dims must ride statically; () = unset.
     # Set automatically by render_frame_pallas_diff.
     env_tex_shape: tuple = ()
+    # backward (adjoint) Pallas kernel block height. 8 preferred: the
+    # kernel stores every segment's input state in VMEM scratch, so its
+    # footprint scales with bh (16 measured no faster at 2x the
+    # scratch — BASELINE.md). Falls back to 8 / tile_height when the
+    # (possibly sharded) height is not divisible.
+    bwd_tile_height: int = 8
 
     @property
     def packed_accum(self) -> bool:
@@ -164,6 +170,8 @@ class RenderConfig:
             errs.append(f"backend {self.backend!r} invalid")
         if self.exit_granularity < 1:
             errs.append("exit_granularity must be >= 1")
+        if self.bwd_tile_height < 1:
+            errs.append("bwd_tile_height must be >= 1")
         if self.accum_layout == "flat128" and self.width % 128:
             errs.append('accum_layout "flat128" requires width % 128 == 0')
         if self.accum_layout == "flat128" and self.env_sampling == "bilinear":

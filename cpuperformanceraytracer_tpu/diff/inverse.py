@@ -147,8 +147,13 @@ def adam_inverse_render(
                                      resample_frames))
         params, opt_state, chunk = step_fn(params, opt_state,
                                            jnp.uint32(done))
-        if log_every and logger and (done % log_every) < todo:
-            logger.info("inverse step %d loss %.6f", done, float(chunk[0]))
+        if log_every and logger:
+            # log the actual boundary step inside this chunk (if any),
+            # with ITS loss — matching the per-step path's output
+            off = (-done) % log_every
+            if off < todo:
+                logger.info("inverse step %d loss %.6f", done + off,
+                            float(chunk[off]))
         losses.extend(float(x) for x in chunk)
         done += todo
     return params, losses

@@ -3,14 +3,29 @@
 The env-texel gradient is "for every pixel p: d_tex[idx[p]] += cot[p]" —
 an (H*W)-update scatter into the (texels,) planes. XLA lowers TPU
 scatters to a serial per-update loop (the measured cause of the round-3
-backward pass's multi-second env gradient). One sort + prefix-sum +
-boundary-difference computes the same reduction in O(P log P) fully
-vectorized work:
+backward pass's multi-second env gradient). Sorting computes the same
+reduction in fully vectorized work:
 
-  1. sort (idx, v) by idx                      (jax.lax.sort, multi-operand)
-  2. prefix-sum the sorted values              (jnp.cumsum — parallel scan)
-  3. per segment t: sum = csum[end_t] - csum[end_{t-1}]
-     with end_t = searchsorted(sorted_idx, t, side="right")
+  1. ONE multi-operand sort of the (idx, values...) entries WITH T
+     sentinel rows appended, under an ODD/EVEN key encoding (real ->
+     2*idx, sentinel t -> 2*t+1): the strict order real(t) <
+     sentinel(t) < real(t+1) lives in the key itself, so no stability
+     tiebreak operand rides through the big sort.
+  2. prefix-sum the sorted values (blocked cumsum — parallel scan);
+     sentinels add 0.0, so at sentinel t the inclusive prefix is
+     exactly "sum of all entries with idx <= t".
+  3. recover the sentinel POSITIONS in t order with one cheap
+     2-operand sort (sentinel keys are unique and increasing), then
+     one batched channel-major gather of the prefixes there. Segment
+     sums are adjacent differences of the extracted prefixes.
+
+Round 4 used jnp.searchsorted(method="sort") for step 3; its
+implementation hides an inverse-permutation SCATTER (u32[P+T]) that
+xprof showed costing 4.85 ms/step at 720p — the round-4 verdict's
+unidentified "fusion.4" — plus a 1.5 ms companion argsort and a second
+0.6 ms scatter (scripts/profile_backward_ops.py). Inverting the
+permutation BY SORT (step 3) replaces all three with one more
+multi-operand sort: scatter-free end to end.
 
 All arrays stay 1-D per channel on purpose: an (P, 3) channel-minor
 layout would be physically lane-padded 3->128 by the TPU tiling (the
@@ -38,38 +53,49 @@ def segment_sum_sorted(idx: jnp.ndarray,
     prefix-sum rounding) to ``jnp.zeros(n).at[idx].add(v)`` per channel.
     """
     idx = idx.astype(jnp.int32)
-    operands = (idx,) + tuple(values)
-    sorted_ops = jax.lax.sort(operands, dimension=0, num_keys=1)
-    sidx = sorted_ops[0]
+    p = idx.shape[0]
+    t = int(num_segments)
+    n = p + t
+
+    # 1. one sort of reals + sentinels with ODD/EVEN key encoding:
+    # real entry -> 2*idx, sentinel t -> 2*t + 1. The strict ordering
+    # real(t) < sentinel(t) < real(t+1) is built into the key itself,
+    # so no stability tiebreak operand rides through the big sort.
+    keys = jnp.concatenate([idx * 2,
+                            jnp.arange(t, dtype=jnp.int32) * 2 + 1])
+    padded = [jnp.concatenate([jnp.asarray(v), jnp.zeros((t,), v.dtype)])
+              for v in values]
+    sorted_ops = jax.lax.sort((keys,) + tuple(padded), dimension=0,
+                              num_keys=1)
+    skeys = sorted_ops[0]
     svals = sorted_ops[1:]
 
-    # end_t = number of entries with index <= t  (exclusive prefix bound).
-    # method="sort" folds the lookup into one fused sort — measured ~4x
-    # faster than the default 20-step binary-search scan at 1M keys
-    # (scripts/profile_backward.py).
-    targets = jnp.arange(num_segments, dtype=jnp.int32)
-    ends = jnp.searchsorted(sidx, targets, side="right", method="sort")
+    # 2. inclusive prefix sums (sentinel zeros leave values unchanged)
+    csums = jnp.stack([_cumsum_blocked(sv) for sv in svals])  # (C, N)
 
-    # one channel-major boundary gather for ALL channels: operand
-    # (C, P+1) with offset_dims=(0,) writes planar (C, T) directly —
-    # the same trick as texture._gather; three separate 1-D takes
-    # measured 0.94 ms EACH at T=131072 (xprof, BASELINE.md) vs ~0.25
-    # for the batched form
-    padded = jnp.stack(
-        [jnp.concatenate([jnp.zeros((1,), sv.dtype), _cumsum_blocked(sv)])
-         for sv in svals], axis=0)  # (C, P+1)
+    # 3. sentinel positions in t order: sentinel keys (odd) are unique
+    # and already increasing, so a 2-operand sort keyed "own key if
+    # sentinel else +inf" compacts their positions to the front
+    key2 = jnp.where((skeys & 1) == 1, skeys, jnp.int32(2 * t))
+    pos_t = jax.lax.sort((key2, jax.lax.iota(jnp.int32, n)), dimension=0,
+                         num_keys=1)[1][:t]
+
+    # one channel-major batched gather for ALL channels ((C, N) operand,
+    # offset_dims=(0,) -> planar (C, T) written directly — the same
+    # trick as texture._gather; per-channel 1-D takes measured 0.94 ms
+    # EACH at T=131072 vs ~0.25 for the batched form)
     c_at = jax.lax.gather(
-        padded, ends[:, None],
+        csums, pos_t[:, None],
         dimension_numbers=jax.lax.GatherDimensionNumbers(
             offset_dims=(0,), collapsed_slice_dims=(1,),
             start_index_map=(1,)),
-        slice_sizes=(len(svals), 1),
+        slice_sizes=(len(values), 1),
         mode=jax.lax.GatherScatterMode.CLIP,
     )  # (C, T)
     prev = jnp.concatenate(
-        [jnp.zeros((len(svals), 1), padded.dtype), c_at[:, :-1]], axis=1)
+        [jnp.zeros((len(values), 1), c_at.dtype), c_at[:, :-1]], axis=1)
     out = c_at - prev
-    return tuple(out[c] for c in range(len(svals)))
+    return tuple(out[c] for c in range(len(values)))
 
 
 def _cumsum_blocked(x: jnp.ndarray, lanes: int = 128) -> jnp.ndarray:

@@ -44,10 +44,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import numpy as np
+
 from cpuperformanceraytracer_tpu.config import RenderConfig
 from cpuperformanceraytracer_tpu.core.vecmath import Vec3
 from cpuperformanceraytracer_tpu.kernels.megakernel import (
     MAT_COLS,
+    MAT_FIELD_KEYS,
     QUAD_COLS,
     SPH_COLS,
     _CtrRng,
@@ -61,6 +64,88 @@ from cpuperformanceraytracer_tpu.kernels.megakernel import (
     rng_flatten,
 )
 
+# every trainable family (trained=None means "all of these")
+_ALL_TRAINED = frozenset(
+    {"quad", "sphere_centers", "sphere_radii", "camera", "env_rgb"}
+    | set(MAT_FIELD_KEYS))
+
+
+class _BakedTables:
+    """Hashable-by-content wrapper for the numpy base tables, so the
+    partial-baking spec can participate in the kernel builders'
+    lru_cache keys."""
+
+    def __init__(self, tables):
+        self.tables = tables
+        self._key = tuple((t.shape, t.tobytes()) for t in tables)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return (isinstance(other, _BakedTables)
+                and self._key == other._key)
+
+
+def _any_tracer(x) -> bool:
+    from jax.core import Tracer
+
+    return any(isinstance(leaf, Tracer) for leaf in jax.tree.leaves(x))
+
+
+def derive_trained(scene, camera, texture):
+    """Which parameter families are actually being differentiated?
+
+    A family is 'trained' iff any of its leaves is a jax Tracer in the
+    current trace — exactly the leaves a caller can take gradients
+    with respect to (diff/grad.apply_params overlays params as traced
+    arrays; everything else stays a concrete closure constant). Every
+    non-trained cell can then be baked into the kernels as a
+    compile-time constant (VERDICT r4 item 4: partial scene baking).
+    """
+    part = set()
+    if _any_tracer(scene.quads):
+        part.add("quad")
+    if _any_tracer(scene.spheres.center):
+        part.add("sphere_centers")
+    if _any_tracer(scene.spheres.radius):
+        part.add("sphere_radii")
+    for f in ("albedo", "emissive", "specular_chance",
+              "specular_roughness", "specular_color", "ior",
+              "refraction_chance", "refraction_roughness",
+              "refraction_color"):
+        if _any_tracer(getattr(scene.materials, f)):
+            part.add(f)
+    if _any_tracer(camera):
+        part.add("camera")
+    if texture is not None and _any_tracer(
+            (texture.r, texture.g, texture.b)):
+        part.add("env_rgb")
+    return frozenset(part)
+
+
+def _concretize(x):
+    """Replace traced leaves with zeros (their table cells are never
+    read by a partially-baked kernel); concrete leaves pass through."""
+    from jax.core import Tracer
+
+    return jax.tree.map(
+        lambda l: np.zeros(np.shape(l), np.float32)
+        if isinstance(l, Tracer) else np.asarray(l, np.float32), x)
+
+
+def bake_base_tables(scene, camera, cfg) -> _BakedTables:
+    """Numpy base tables for partial baking: concrete leaves keep their
+    values, traced (trained) cells are placeholders. Packing runs at
+    compile time (inputs are concrete by construction — _concretize —
+    but inside a jit trace jnp ops would otherwise be staged)."""
+    with jax.ensure_compile_time_eval():
+        cs = _concretize(scene)
+        quad_np, sph_np, mat_np = (np.asarray(t) for t in pack_scene(cs))
+        cam_np = np.asarray(pack_camera(_concretize(camera), cfg),
+                            np.float32)
+    return _BakedTables((quad_np, sph_np, mat_np, cam_np))
+
 # f32 state-plane indices within _flatten_state's 22-slot layout
 _RET = 0      # ret.xyz at 0..2
 _POS = 6      # pos.xyz at 6..8
@@ -70,15 +155,14 @@ _MISS_THR = 16  # miss throughput .xyz at 16..18
 _NF32 = 22
 
 
-import os
-
-
 def _bwd_tiles(cfg: RenderConfig):
-    """Backward block shape: (8, 128) preferred (VMEM headroom for the
-    per-segment state store), falling back to the config's tiles.
-    BWD_TILE_H overrides for A/B experiments (e.g. 16 halves the grid
-    at ~2x the scratch footprint)."""
-    pref_h = int(os.environ.get("BWD_TILE_H", "8"))
+    """Backward block shape: (cfg.bwd_tile_height, 128) preferred —
+    8 by default, VMEM headroom for the per-segment state store —
+    falling back to 8 / the config's tiles when the height is not
+    divisible. The knob lives on RenderConfig (not an env var) so it
+    participates in _make_bwd_call's cache key and benchmark configs
+    state it explicitly."""
+    pref_h = cfg.bwd_tile_height
     bh = pref_h if cfg.height % pref_h == 0 else (
         8 if cfg.height % 8 == 0 else cfg.tile_height)
     bw = 128 if cfg.width % 128 == 0 else cfg.tile_width
@@ -89,15 +173,44 @@ def _bwd_tiles(cfg: RenderConfig):
     return bh, bw
 
 
+# Conservative per-core VMEM budget for the backward kernel's scratch
+# (v5e cores have 128 MiB; leave room for Mosaic's own in/out windows
+# and double buffering). Scratch scales LINEARLY with scene size: the
+# theta accumulator is (t_pl, bh, bw) where t_pl = 25*nq + 5*ns +
+# 14*nm + 3 planes — ~325 planes (1.3 MiB/block at (8,128)) for the
+# 12-object glass scene, so the ceiling sits near ~24000 table cells
+# (~900 objects) at the default block. _make_bwd_call raises a sized
+# error instead of letting Mosaic OOM silently.
+_BWD_VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+
+
+def _bwd_scratch_bytes(n_segments, bh, bw, t_pl):
+    """f32/u32 scratch footprint of one backward-kernel block."""
+    state_store = n_segments * bh * bw * (_NF32 + 3)
+    theta_acc = t_pl * bh * bw
+    cot_planes = _NF32 * bh * bw
+    return 4 * (state_store + theta_acc + cot_planes)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_bwd_call(cfg: RenderConfig, nq: int, ns: int, nm: int,
-                   local_h: int = 0):
+                   local_h: int = 0, trained=None, baked=None):
     """Build the cached backward pallas_call for static (cfg, sizes).
 
-    Returns fn(scalars, quad_tbl, sph_tbl, mat_tbl, cam_tbl, cot6) ->
-    (n_blocks, T_rows, bw) per-block parameter-cotangent partials, where
-    rows are [quad cells, sphere cells, material cells, ambient(3),
-    camera(5)] and the caller reduces over (blocks, lanes).
+    Returns (fn, spec): fn(scalars, quad_tbl, sph_tbl, mat_tbl, cam_tbl,
+    cot6) -> (n_blocks, T_rows, bw) per-block parameter-cotangent
+    partials, where the first len(spec) rows are the TRAINED theta
+    cells in ``spec`` order ((kind, i, col) triples over
+    quad/sph/mat/amb) and the last 5 rows are the camera scalars; the
+    caller reduces over (blocks, lanes) and re-inflates to full tables
+    (_bwd_tables).
+
+    ``trained``: frozenset of trained families (kernels partial-bake
+    everything else from ``baked`` — smaller theta, smaller VMEM
+    scratch, and the shared bounce body specializes on the constant
+    cells exactly like the baked forward kernel). None = all families.
+    ``baked``: _BakedTables numpy base tables (always required — they
+    also supply structural cells like material indices).
 
     ``local_h``: rows handled by THIS invocation (a shard's pixel-row
     window under shard_map; 0 = full height). The scalars' row0 entry
@@ -114,37 +227,69 @@ def _make_bwd_call(cfg: RenderConfig, nq: int, ns: int, nm: int,
     n_segments = cfg.bounces + 1
     parts = _make_kernel(cfg, nq, ns, nm, bh, bw, baked=None,
                          export_parts=True)
+    part = trained if trained is not None else _ALL_TRAINED
+    bt = baked.tables
 
-    t_quad = nq * QUAD_COLS
-    t_sph = ns * SPH_COLS
-    t_mat = nm * MAT_COLS
-    t_tab = t_quad + t_sph + t_mat
-    t_pl = t_tab + 3          # + ambient planes (cam cols 5..7)
+    # ---- the trained-theta spec: ordered (kind, i, col) cells.
+    # Material indices (quad col 24 handled inside the quad family;
+    # sphere col 4) are structural and never trained on their own.
+    spec = []
+    if "quad" in part:
+        spec += [("quad", qi, c)
+                 for qi in range(nq) for c in range(QUAD_COLS)]
+    for si in range(ns):
+        if "sphere_centers" in part:
+            spec += [("sph", si, c) for c in range(3)]
+        if "sphere_radii" in part:
+            spec.append(("sph", si, 3))
+    for mi in range(nm):
+        for c in range(MAT_COLS):
+            if MAT_FIELD_KEYS[c] in part:
+                spec.append(("mat", mi, c))
+    amb_start = len(spec)
+    spec += [("amb", 0, c) for c in range(3)]
+    spec = tuple(spec)
+    t_pl = len(spec)
     t_rows = t_pl + 5         # + camera scalars (cam cols 0..4)
+    pos_of = {cell: p for p, cell in enumerate(spec)}
+    _TBL = {"quad": 0, "sph": 1, "mat": 2}
+
+    scratch_bytes = _bwd_scratch_bytes(n_segments, bh, bw, t_pl)
+    if scratch_bytes > _BWD_VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"backward kernel scratch needs {scratch_bytes / 2**20:.1f} "
+            f"MiB VMEM per ({bh},{bw}) block ({t_pl} theta planes from "
+            f"{nq} quads/{ns} spheres/{nm} materials, {n_segments} "
+            f"segments) — over the {_BWD_VMEM_BUDGET_BYTES / 2**20:.0f} "
+            "MiB budget. Reduce scene size, bounces, or bwd_tile_height "
+            "(see docs/BACKWARD_KERNEL_DESIGN.md, 'VMEM ceiling').")
 
     def unpack(theta):
         """theta planes -> (quads, spheres, materials, cam_shim) in the
         exact structure load_quads/load_spheres/load_materials emit
-        (megakernel._make_kernel), so make_bounce_body is reusable."""
-        def v3(base):
-            return Vec3(theta[base], theta[base + 1], theta[base + 2])
+        (megakernel._make_kernel), so make_bounce_body is reusable.
+        Non-trained cells come back as python floats from the baked
+        tables — the bounce body specializes on them (_is_const)."""
+        def cell(kind, i, c):
+            p = pos_of.get((kind, i, c))
+            return theta[p] if p is not None else float(
+                bt[_TBL[kind]][i, c])
 
-        quads = []
-        for qi in range(nq):
-            b = qi * QUAD_COLS
-            quads.append((v3(b + 0), v3(b + 3), v3(b + 6), v3(b + 12),
-                          v3(b + 15), v3(b + 21), theta[b + 24]))
-        spheres = []
-        for si in range(ns):
-            b = t_quad + si * SPH_COLS
-            spheres.append((v3(b + 0), theta[b + 3], theta[b + 4]))
-        materials = []
-        for mi in range(nm):
-            b = t_quad + t_sph + mi * MAT_COLS
-            materials.append([theta[b + k] for k in range(MAT_COLS)])
+        def v3(kind, i, c0):
+            return Vec3(cell(kind, i, c0), cell(kind, i, c0 + 1),
+                        cell(kind, i, c0 + 2))
+
+        quads = [(v3("quad", qi, 0), v3("quad", qi, 3),
+                  v3("quad", qi, 6), v3("quad", qi, 12),
+                  v3("quad", qi, 15), v3("quad", qi, 21),
+                  cell("quad", qi, 24)) for qi in range(nq)]
+        spheres = [(v3("sph", si, 0), cell("sph", si, 3),
+                    cell("sph", si, 4)) for si in range(ns)]
+        materials = [[cell("mat", mi, k) for k in range(MAT_COLS)]
+                     for mi in range(nm)]
         # bounce_body reads cam_ref[5..7] (ambient) only
-        cam_shim = [0.0] * 5 + [theta[t_tab], theta[t_tab + 1],
-                                theta[t_tab + 2]]
+        cam_shim = [0.0] * 5 + [theta[amb_start], theta[amb_start + 1],
+                                theta[amb_start + 2]]
         return quads, spheres, materials, cam_shim
 
     def seg_f32(theta, f32s, rngs):
@@ -162,18 +307,10 @@ def _make_bwd_call(cfg: RenderConfig, nq: int, ns: int, nm: int,
         dth_acc = scratch[_NF32 + 3]       # (t_pl, bh, bw) f32
         cot_s = scratch[_NF32 + 4:]        # 22 x (bh, bw) f32 cotangents
 
-        # ---- theta: every table cell + ambient, as broadcast planes
-        cells = []
-        for qi in range(nq):
-            for c in range(QUAD_COLS):
-                cells.append(quad_ref[qi, c])
-        for si in range(ns):
-            for c in range(SPH_COLS):
-                cells.append(sph_ref[si, c])
-        for mi in range(nm):
-            for c in range(MAT_COLS):
-                cells.append(mat_ref[mi, c])
-        cells += [cam_ref[5], cam_ref[6], cam_ref[7]]
+        # ---- theta: the TRAINED cells (+ ambient), as broadcast planes
+        refs = {"quad": quad_ref, "sph": sph_ref, "mat": mat_ref}
+        cells = [cam_ref[5 + c] if kind == "amb" else refs[kind][i, c]
+                 for kind, i, c in spec]
         theta = tuple(jnp.full((bh, bw), v, jnp.float32) for v in cells)
 
         # ---- frag coords + counter keys (same math as the fwd kernel)
@@ -341,24 +478,44 @@ def _make_bwd_call(cfg: RenderConfig, nq: int, ns: int, nm: int,
     def run(scalars, quad_tbl, sph_tbl, mat_tbl, cam_tbl, cot6):
         return call(scalars, quad_tbl, sph_tbl, mat_tbl, cam_tbl, *cot6)
 
-    return run, (t_quad, t_sph, t_mat, t_tab, t_pl, t_rows)
+    return run, spec
+
+
+def _inflate(flat, spec, kind, n, n_cols):
+    """Re-inflate one table's trained-cell rows of ``flat`` (spec order)
+    to a dense (n, n_cols) cotangent table, zeros at baked cells.
+
+    Spec rows per family are contiguous and i-major with an identical
+    column pattern per row, so this is a reshape + zero-column
+    interleave (stack) — no scatters (TPU scatter is a serial loop)."""
+    rows = [p for p, (k, _, _) in enumerate(spec) if k == kind]
+    if not rows:
+        return jnp.zeros((n, n_cols), jnp.float32)
+    cols = sorted({c for (k, _, c) in spec if k == kind})
+    blk = flat[rows[0]:rows[0] + len(rows)].reshape(n, len(cols))
+    if len(cols) == n_cols:
+        return blk
+    zero = jnp.zeros((n,), jnp.float32)
+    return jnp.stack(
+        [blk[:, cols.index(c)] if c in cols else zero
+         for c in range(n_cols)], axis=1)
 
 
 def _bwd_tables(cfg, quad_tbl, sph_tbl, mat_tbl, cam_tbl, frame, sample0,
-                cot6, row0=0, local_h=0):
+                cot6, row0=0, local_h=0, trained=None, baked=None):
     """Run the backward kernel and reduce partials to table cotangents."""
     nq, ns, nm = quad_tbl.shape[0], sph_tbl.shape[0], mat_tbl.shape[0]
-    run, (t_quad, t_sph, t_mat, t_tab, t_pl, _) = _make_bwd_call(
-        cfg, nq, ns, nm, local_h)
+    run, spec = _make_bwd_call(cfg, nq, ns, nm, local_h, trained, baked)
     scalars = jnp.stack([jnp.asarray(frame, jnp.int32).reshape(()),
                          jnp.asarray(row0, jnp.int32).reshape(()),
                          jnp.asarray(sample0, jnp.int32).reshape(())])
     partials = run(scalars, quad_tbl, sph_tbl, mat_tbl, cam_tbl, cot6)
     flat = jnp.sum(partials, axis=(0, 2))  # (t_rows,)
-    d_quad = flat[:t_quad].reshape(nq, QUAD_COLS)
-    d_sph = flat[t_quad:t_quad + t_sph].reshape(ns, SPH_COLS)
-    d_mat = flat[t_quad + t_sph:t_tab].reshape(nm, MAT_COLS)
-    d_amb = flat[t_tab:t_pl]
+    t_pl = len(spec)
+    d_quad = _inflate(flat, spec, "quad", nq, QUAD_COLS)
+    d_sph = _inflate(flat, spec, "sph", ns, SPH_COLS)
+    d_mat = _inflate(flat, spec, "mat", nm, MAT_COLS)
+    d_amb = flat[t_pl - 3:t_pl]
     d_cam5 = flat[t_pl:t_pl + 5]
     d_cam = jnp.concatenate([d_cam5, d_amb])
     return d_quad, d_sph, d_mat, d_cam
@@ -370,7 +527,8 @@ def _bwd_tables(cfg, quad_tbl, sph_tbl, mat_tbl, cam_tbl, frame, sample0,
 
 
 @functools.lru_cache(maxsize=None)
-def _diff_sample_fn(cfg: RenderConfig, tex_n: int, local_h: int = 0):
+def _diff_sample_fn(cfg: RenderConfig, tex_n: int, local_h: int = 0,
+                    trained=None, baked=None):
     """Differentiable single-sample render over packed tables.
 
     ``tex_n``: flat env texel count (0 = no env texture). Returns
@@ -379,6 +537,13 @@ def _diff_sample_fn(cfg: RenderConfig, tex_n: int, local_h: int = 0):
     int32. ``local_h``: this invocation's pixel-row window (a shard's
     rows under shard_map; 0 = full frame), with row0 naming the window's
     first global row.
+
+    ``trained``/``baked``: partial-baking spec (frozenset of trained
+    families + _BakedTables base tables): both the forward megakernel
+    and the adjoint kernel bake every non-trained cell as a
+    compile-time constant; gradients flow only to trained families —
+    exactly the ones whose leaves are traced at the call site
+    (derive_trained). None = fully traced (all families trainable).
     """
     cfg = cfg.validate().replace(spp=1, bake_scene=False)
     if cfg.env_mode != "none" and cfg.env_sampling == "bilinear":
@@ -403,11 +568,18 @@ def _diff_sample_fn(cfg: RenderConfig, tex_n: int, local_h: int = 0):
         w, h = cfg.env_tex_shape
         return Texture(r=tr, g=tg, b=tb, width=w, height=h)
 
+    part = trained if trained is not None else _ALL_TRAINED
+    env_trained = tex_n > 0 and "env_rgb" in part
+
     def forward(quad, sph, mat, cam, tr, tg, tb, frame, sample0, row0):
         outs = _pallas_render(None, None, None, cfg, frame,
                               sample0=sample0, row0=row0,
                               local_height=local_h or None,
-                              tables=(quad, sph, mat, cam))
+                              tables=(quad, sph, mat, cam),
+                              baked_tables=(baked.tables
+                                            if trained is not None
+                                            else None),
+                              trained=trained)
         (r, g, b, mdx, mdy, mdz, mtx, mty, mtz, jr, jc, missed) = outs
         if cfg.env_mode == "none":
             return (r, g, b), None
@@ -442,14 +614,20 @@ def _diff_sample_fn(cfg: RenderConfig, tex_n: int, local_h: int = 0):
             # texel INDEX is piecewise constant (stochastic/nearest tap)
             # so miss_dir/jr/jc carry no gradient — matching the oracle.
             cot6 = (gx, gy, gz, gx * ex, gy * ey, gz * ez)
-            d_tex = segment_sum_sorted(
-                idx.reshape(-1),
-                ((gx * mtx).reshape(-1), (gy * mty).reshape(-1),
-                 (gz * mtz).reshape(-1)),
-                tex_n)
+            if env_trained:
+                d_tex = segment_sum_sorted(
+                    idx.reshape(-1),
+                    ((gx * mtx).reshape(-1), (gy * mty).reshape(-1),
+                     (gz * mtz).reshape(-1)),
+                    tex_n)
+            else:
+                # env texels are closure constants this trace: skip the
+                # whole sort+segment-sum pipeline
+                z = jnp.zeros((tex_n,), jnp.float32)
+                d_tex = (z, z, z)
         d_quad, d_sph, d_mat, d_cam = _bwd_tables(
             cfg, quad, sph, mat, cam, frame, sample0, cot6,
-            row0=row0, local_h=local_h)
+            row0=row0, local_h=local_h, trained=trained, baked=baked)
         return (d_quad, d_sph, d_mat, d_cam,
                 d_tex[0], d_tex[1], d_tex[2], None, None, None)
 
@@ -459,7 +637,8 @@ def _diff_sample_fn(cfg: RenderConfig, tex_n: int, local_h: int = 0):
 
 def render_frame_pallas_diff(scene, camera, texture, cfg: RenderConfig,
                              frame, spp_offset=0, row0=0,
-                             local_height=None, spp_count=None) -> Vec3:
+                             local_height=None, spp_count=None,
+                             trained=None, baked=None) -> Vec3:
     """Differentiable Pallas frame render: forward = the megakernel +
     deferred env combine; backward = the adjoint megakernel + sorted
     env segment-sum. Drop-in for render_frame inside jax.grad when
@@ -490,7 +669,17 @@ def render_frame_pallas_diff(scene, camera, texture, cfg: RenderConfig,
     quad, sph, mat = pack_scene(scene)
     cam = pack_camera(camera, cfg)
     n_spp = spp_count if spp_count is not None else cfg.spp
-    fn = _diff_sample_fn(cfg.replace(spp=1), tex_n, local_height or 0)
+    # partial baking: families whose leaves are traced HERE are the
+    # trainable surface; everything else bakes to kernel constants.
+    # Under shard_map every operand leaf is traced, so the sharded
+    # caller (parallel.shard.sharded_render_frame_diff) derives the
+    # spec OUTSIDE the shard body and passes it through.
+    if trained is None:
+        trained = derive_trained(scene, camera, texture)
+    if baked is None:
+        baked = bake_base_tables(scene, camera, cfg)
+    fn = _diff_sample_fn(cfg.replace(spp=1), tex_n, local_height or 0,
+                         trained, baked)
 
     acc = None
     for s in range(n_spp):

@@ -238,9 +238,19 @@ def _magic_div(d: int, n: int):
     raise ValueError(f"no exact magic divisor for d={d}, n={n}")
 
 
+# param-key granularity for PARTIAL baking (the diff path): material
+# table column -> the apply_params key that trains it (diff/grad.py)
+MAT_FIELD_KEYS = (
+    ["albedo"] * 3 + ["emissive"] * 3
+    + ["specular_chance", "specular_roughness"] + ["specular_color"] * 3
+    + ["ior", "refraction_chance", "refraction_roughness"]
+    + ["refraction_color"] * 3
+)
+
+
 def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
                  bh: int, bw: int, baked=None, flat_gpr=None,
-                 export_parts=False):
+                 export_parts=False, trained=None):
     """Build the kernel body for static (cfg, scene sizes, block shape).
 
     ``baked``: optional (quad_np, sph_np, mat_np, cam_np) numpy tables —
@@ -250,6 +260,14 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
     shading paths that the scene cannot exercise (refraction, Fresnel,
     Beer absorption, roughness lerps) drop out of the kernel entirely.
 
+    ``trained``: optional frozenset of apply_params keys ("albedo",
+    "sphere_centers", "quad", "camera", ...) enabling PARTIAL baking for
+    the differentiable path: cells belonging to a trained family read
+    from the SMEM tables (traced, gradients flow); every other cell is a
+    compile-time constant from ``baked`` (which must then be provided).
+    None = the all-or-nothing behavior (fully baked when ``baked`` is
+    given, fully traced otherwise).
+
     The scalar input carries [frame, row0, sample0]: row0 = this
     shard's first global pixel row; sample0 = the first counter-RNG
     sample index of this invocation's spp loop (streams are addressable
@@ -257,6 +275,14 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
     per-sample dispatches and spp shards offset their sample window).
     """
     height, width = cfg.height, cfg.width
+    part = trained if trained is not None else frozenset()
+    if trained is not None and baked is None:
+        raise ValueError("partial baking (trained=...) needs baked tables")
+
+    def _is_trained(key: str) -> bool:
+        # with no baked tables everything is traced; with baked tables
+        # and no trained set everything is constant (full bake)
+        return baked is None or key in part
     env_draws = cfg.env_mode != "none" and cfg.env_sampling == "stochastic"
     unit_vec = (random_unit_vector_zangle
                 if cfg.unit_vector_sampler == "zangle"
@@ -264,8 +290,11 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
 
     def load_quads(quad_ref):
         """Hoist every per-quad SMEM scalar out of the bounce loop: one
-        read each per kernel invocation instead of one per bounce."""
-        if baked is not None:
+        read each per kernel invocation instead of one per bounce. The
+        quad family bakes/traces as a unit ("quad"): the table stores
+        vertex-DERIVED cells (normal, edge cross products), so any
+        trained vertex taints them all."""
+        if not _is_trained("quad"):
             q = baked[0]
             return [tuple(
                 Vec3(*(float(v) for v in q[qi, c:c + 3]))
@@ -285,19 +314,22 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         return out
 
     def load_spheres(sph_ref):
-        if baked is not None:
-            s = baked[1]
-            return [(Vec3(*(float(v) for v in s[si, 0:3])),
-                     float(s[si, 3]), float(s[si, 4])) for si in range(ns)]
-        return [( _scalar3(sph_ref, si, 0), sph_ref[si, 3], sph_ref[si, 4])
-                for si in range(ns)]
+        ctr = _is_trained("sphere_centers")
+        rad = _is_trained("sphere_radii")
+        s = baked[1] if baked is not None else None
+        return [(
+            _scalar3(sph_ref, si, 0) if ctr
+            else Vec3(*(float(v) for v in s[si, 0:3])),
+            sph_ref[si, 3] if rad else float(s[si, 3]),
+            # material index is structural, never trained
+            sph_ref[si, 4] if baked is None else float(s[si, 4]),
+        ) for si in range(ns)]
 
     def load_materials(mat_ref):
-        if baked is not None:
-            m = baked[2]
-            return [[float(m[mi, k]) for k in range(MAT_COLS)]
-                    for mi in range(nm)]
-        return [[mat_ref[mi, k] for k in range(MAT_COLS)] for mi in range(nm)]
+        m = baked[2] if baked is not None else None
+        return [[mat_ref[mi, k] if _is_trained(MAT_FIELD_KEYS[k])
+                 else float(m[mi, k]) for k in range(MAT_COLS)]
+                for mi in range(nm)]
 
     def trace(quads, spheres, pos: Vec3, dir: Vec3):
         """Blend-chain nearest hit over all objects (TestSceneTrace
@@ -363,23 +395,18 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         return best, normal, inside, mat
 
     def fetch_material(materials, idx):
-        """17-field material fetch (GatherMaterials analog, v4 :389-417).
+        """17-field material fetch (GatherMaterials analog, v4 :389-417),
+        per-field:
 
-        Traced scene: broadcast-compare-select chain over NM materials.
-        Baked scene: per-field DISTINCT-VALUE grouping — each field costs
-        (#distinct values - 1) selects against precomputed union masks
-        instead of NM selects, and a scene-wide-constant field becomes a
-        python float (letting downstream shading code drop out at trace
-        time)."""
-        if baked is None:
-            fields = [jnp.zeros((bh, bw), jnp.float32)
-                      for _ in range(MAT_COLS)]
-            for mi, mat_row in enumerate(materials):
-                sel = idx == float(mi)
-                for k in range(MAT_COLS):
-                    fields[k] = jnp.where(sel, mat_row[k], fields[k])
-            return fields
+        Constant field (every material's value is a python float — the
+        whole scene baked, or the field not trained under PARTIAL
+        baking): DISTINCT-VALUE grouping — (#distinct values - 1)
+        selects against precomputed union masks, and a scene-wide-
+        constant field becomes a python float (letting downstream
+        shading code drop out at trace time).
 
+        Traced field: broadcast-compare-select chain over NM materials
+        (shared eq masks across fields)."""
         eq = {}
 
         def eq_mask(mi):
@@ -400,9 +427,17 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
 
         fields = []
         for k in range(MAT_COLS):
+            vals = [materials[mi][k] for mi in range(nm)]
+            if not all(isinstance(v, (int, float)) for v in vals):
+                # traced field: plain select chain in material order
+                field = jnp.zeros((bh, bw), jnp.float32)
+                for mi in range(nm):
+                    field = jnp.where(eq_mask(mi), vals[mi], field)
+                fields.append(field)
+                continue
             groups = {}
             for mi in range(nm):
-                groups.setdefault(materials[mi][k], []).append(mi)
+                groups.setdefault(vals[mi], []).append(mi)
             if len(groups) == 1:
                 fields.append(next(iter(groups)))  # python float constant
                 continue
@@ -416,7 +451,11 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         return fields
 
     def cam_scalar(cam_ref, i):
-        return float(baked[3][i]) if baked is not None else cam_ref[i]
+        # cols 0..4 = camera (trainable as the "camera" family); cols
+        # 5..7 = cfg.ambient (configuration, never trained)
+        if baked is not None and not (i < 5 and _is_trained("camera")):
+            return float(baked[3][i])
+        return cam_ref[i]
 
     def camera_ray_blk(cam_ref, rng, frag_x, frag_y):
         """Primary ray for the block (mainImage analog): jitter draws +
@@ -719,7 +758,8 @@ def _make_kernel(cfg: RenderConfig, nq: int, ns: int, nm: int,
         )
 
     def kernel(frame_ref, *rest):
-        if baked is not None:
+        if baked is not None and trained is None:
+            # fully baked: no table inputs at all
             quad_ref = sph_ref = mat_ref = cam_ref = None
         else:
             quad_ref, sph_ref, mat_ref, cam_ref = rest[:4]
@@ -826,13 +866,18 @@ def _use_interpret() -> bool:
 
 def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
                    sample0: int = 0, row0=0, local_height=None,
-                   flat: bool = False, tables=None):
+                   flat: bool = False, tables=None, baked_tables=None,
+                   trained=None):
     """Shared pallas_call setup/dispatch; returns the raw output planes.
 
     ``tables``: optional pre-packed (quad_tbl, sph_tbl, mat_tbl, cam_tbl)
     — the differentiable entry (kernels/backward.py) feeds tables
     directly so gradients flow through pack_scene's transpose; baking is
-    skipped (a baked scene is a compile-time constant, not a parameter).
+    skipped (a baked scene is a compile-time constant, not a parameter)
+    UNLESS ``baked_tables``+``trained`` request PARTIAL baking: numpy
+    base tables plus the frozenset of trained families — only trained
+    cells read from the (traced) tables, everything else is a
+    compile-time constant (see _make_kernel).
 
     ``row0``/``local_height``: render only rows [row0, row0+local_height)
     of the global cfg.height image — the shard_map path passes each
@@ -876,7 +921,7 @@ def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
         quad_tbl, sph_tbl, mat_tbl, cam_tbl = tables
         nq, ns, nm = quad_tbl.shape[0], sph_tbl.shape[0], mat_tbl.shape[0]
         bake = False
-        baked = None
+        baked = baked_tables if trained is not None else None
     else:
         concrete = not any(
             isinstance(leaf, Tracer)
@@ -903,7 +948,7 @@ def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
 
     gpr = cfg.width // 128 if flat else None
     kernel = _make_kernel(cfg, nq, ns, nm, bh, bw, baked=baked,
-                          flat_gpr=gpr)
+                          flat_gpr=gpr, trained=trained)
     if flat:
         grid = (n_groups // bh,)
         smem = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -929,7 +974,7 @@ def _pallas_render(scene, camera, texture, cfg: RenderConfig, frame,
     scalars = jnp.stack([jnp.asarray(frame, jnp.int32).reshape(()),
                          jnp.asarray(row0, jnp.int32).reshape(()),
                          jnp.asarray(sample0, jnp.int32).reshape(())])
-    if baked is not None:
+    if baked is not None and trained is None:
         in_specs = [smem((3,))]
         args = (scalars,)
     else:

@@ -144,6 +144,17 @@ def sharded_render_frame_diff(scene, camera, texture, cfg: RenderConfig,
     # backward kernel) — capture the python ints here
     tex_dims = (None if texture is None
                 else (int(texture.width), int(texture.height)))
+    # Partial baking: inside shard_map EVERY operand leaf is traced, so
+    # derive the trained families + baked base tables out here, where
+    # trained-vs-constant is still visible (kernels/backward.py)
+    from cpuperformanceraytracer_tpu.kernels.backward import (
+        bake_base_tables,
+        derive_trained,
+        render_frame_pallas_diff,
+    )
+
+    trained = derive_trained(scene, camera, texture)
+    baked = bake_base_tables(scene, camera, cfg)
 
     @partial(
         jax.shard_map,
@@ -153,10 +164,6 @@ def sharded_render_frame_diff(scene, camera, texture, cfg: RenderConfig,
         check_vma=False,
     )
     def shard_fn(scene, camera, texture, frame):
-        from cpuperformanceraytracer_tpu.kernels.backward import (
-            render_frame_pallas_diff,
-        )
-
         if texture is not None:
             texture = texture._replace(width=tex_dims[0], height=tex_dims[1])
         spp_idx = lax.axis_index("spp") if n_spp > 1 else 0
@@ -166,6 +173,7 @@ def sharded_render_frame_diff(scene, camera, texture, cfg: RenderConfig,
             spp_offset=spp_idx * spp_local, row0=row0,
             local_height=h_local if n_px > 1 else None,
             spp_count=spp_local,
+            trained=trained, baked=baked,
         )
         planes = jnp.stack([color.x, color.y, color.z])
         if n_spp > 1:

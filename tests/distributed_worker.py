@@ -6,11 +6,16 @@ shard_map (pixel rows sharded). The worker prints the frame's global
 mean radiance — identical across processes (the mean is a collective) —
 which the parent test compares against a single-process render.
 
-Run: python tests/distributed_worker.py <pid> <nproc> <coordinator> [backend]
+Run: python tests/distributed_worker.py <pid> <nproc> <coordinator> [mode]
 
-``backend`` (default "xla") selects the frame kernel; "pallas" runs the
-production megakernel under the multi-process mesh (interpret mode on
-CPU), closing the one untested leg of the multi-chip path.
+``mode`` (default "xla") selects the leg under test: "xla" / "pallas"
+render a forward frame with that backend; "grad" runs ONE
+value_and_grad step of the L2 pixel loss through
+sharded_render_frame_diff — the adjoint Pallas megakernel per shard
+with parameter gradients all-reduced through the shard_map transpose
+across the two REAL processes (the leg a 2-host deployment trains on;
+replaces work_queue.cpp:17-66). Prints per-key gradient summaries the
+parent compares against a single-process reference.
 """
 
 import os
@@ -52,6 +57,55 @@ def main() -> int:
     # numpy leaves are accepted as implicitly-replicated inputs
     scene = jax.tree.map(np.asarray, scene)
     camera = jax.tree.map(np.asarray, camera)
+
+    if backend == "grad":
+        import jax.numpy as jnp
+
+        from cpuperformanceraytracer_tpu.diff.grad import (
+            apply_params,
+            image_loss,
+            render_for_params,
+        )
+        from cpuperformanceraytracer_tpu.parallel.shard import (
+            sharded_render_frame_diff,
+        )
+        from cpuperformanceraytracer_tpu.texture.procedural import gradient_sky
+        from cpuperformanceraytracer_tpu.texture.texture import (
+            texture_from_array,
+        )
+
+        cfg = cfg.replace(backend="pallas", env_mode="equirect",
+                          env_sampling="stochastic")
+        tex = texture_from_array(gradient_sky(16, 8))
+        tex = tex._replace(r=np.asarray(tex.r), g=np.asarray(tex.g),
+                           b=np.asarray(tex.b))
+        # px=2*nproc rows-shards x spp=2 sample-shards over the global mesh
+        mesh = make_mesh((2 * nproc, 2), ("px", "spp"))
+        target = render_for_params({}, scene, camera, tex,
+                                   cfg.replace(backend="xla"), 0)
+        target = jax.tree.map(lambda x: np.asarray(x), target)
+
+        albedo = np.stack([scene.materials.albedo.x,
+                           scene.materials.albedo.y,
+                           scene.materials.albedo.z], -1)
+        centers = np.stack([scene.spheres.center.x, scene.spheres.center.y,
+                            scene.spheres.center.z], -1)
+        params = {"albedo": albedo + 0.05,
+                  "sphere_centers": centers + 0.1,
+                  "env_rgb": np.stack([tex.r, tex.g, tex.b], -1)}
+
+        def loss_fn(p):
+            s, t = apply_params(scene, tex, p)
+            img = sharded_render_frame_diff(s, camera, t, cfg, 3, mesh)
+            return image_loss(img, target)
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        print(f"WORKER {pid} LOSS {float(loss):.9f}", flush=True)
+        for key in sorted(grads):
+            g = np.asarray(grads[key], np.float64)
+            print(f"WORKER {pid} GRAD {key} {np.linalg.norm(g):.9f} "
+                  f"{g.sum():.9f}", flush=True)
+        return 0
 
     mesh = make_mesh((4 * nproc, 1), ("px", "spp"))
 

@@ -93,6 +93,32 @@ class TestSegmentSum:
         want[3], want[7] = 3.0, 4.0
         np.testing.assert_allclose(np.asarray(got), want)
 
+    def test_frame_scale_rounding_error(self):
+        """Production size (720p pixels -> 512x256 texels): the f32
+        prefix sum's running total can dwarf individual segment sums, so
+        bound the cancellation error against an exact f64 scatter-add —
+        mixed-sign (the real gradient regime: loss residuals of both
+        signs) and the adversarial all-positive case."""
+        P, T = 1280 * 720, 512 * 256
+        rng = np.random.RandomState(7)
+        idx = jnp.asarray(rng.randint(0, T, size=P), jnp.int32)
+        mixed = rng.randn(P).astype(np.float32)
+        # boundary-difference error is intrinsically ~ulp(running total):
+        # measured 3e-6 relative for mixed signs (the real gradient
+        # regime — loss residuals cancel) and 2.7e-3 for the adversarial
+        # all-positive case (documented bound; far below SGD noise)
+        for name, v, rel_bound in (("mixed", mixed, 1e-4),
+                                   ("positive", np.abs(mixed), 1e-2)):
+            (got,) = segment_sum_sorted(idx, [jnp.asarray(v)], T)
+            want = np.zeros(T, np.float64)
+            np.add.at(want, np.asarray(idx), v.astype(np.float64))
+            err = np.abs(np.asarray(got, np.float64) - want)
+            # error scale = a few ulp of the worst-case running total
+            scale = np.abs(v.astype(np.float64)).sum() * 2 ** -23
+            assert err.max() <= 4 * scale, (name, err.max(), scale)
+            rel = np.linalg.norm(err) / max(np.linalg.norm(want), 1e-9)
+            assert rel < rel_bound, (name, rel)
+
 
 class TestPallasGradParity:
     def test_forward_value_matches_pallas_kernel(self):

@@ -113,6 +113,90 @@ def test_two_process_distributed_render(backend):
         assert abs(got - want) < 1e-5, (pid, got, want)
 
 
+def test_two_process_distributed_training_step():
+    """The multi-process TRAINING leg (VERDICT r4 item 6): two real
+    processes run one value_and_grad step through
+    sharded_render_frame_diff — adjoint Pallas megakernel per shard,
+    parameter gradients (incl. every env texel) all-reduced through the
+    shard_map transpose over the 2-process global mesh. Both workers'
+    gradients must match a single-process unsharded reference."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from cpuperformanceraytracer_tpu.diff.grad import (
+        image_loss,
+        render_for_params,
+    )
+    from cpuperformanceraytracer_tpu.scene.presets import scene_by_name
+    from cpuperformanceraytracer_tpu.texture.procedural import gradient_sky
+    from cpuperformanceraytracer_tpu.texture.texture import texture_from_array
+
+    # the same problem the worker builds (keep in sync with
+    # distributed_worker.py mode="grad")
+    cfg = _cfg(width=64, height=48, spp=2, bounces=2, jitter=True,
+               rng="counter", backend="pallas", env_mode="equirect",
+               tile_height=6, tile_width=64).replace(env_flip_xz=True)
+    scene, cam = scene_by_name(cfg.scene)
+    tex = texture_from_array(gradient_sky(16, 8))
+    target = render_for_params({}, scene, cam, tex,
+                               cfg.replace(backend="xla"), 0)
+
+    albedo = np.stack([scene.materials.albedo.x, scene.materials.albedo.y,
+                       scene.materials.albedo.z], -1)
+    centers = np.stack([scene.spheres.center.x, scene.spheres.center.y,
+                        scene.spheres.center.z], -1)
+    params = {"albedo": albedo + 0.05, "sphere_centers": centers + 0.1,
+              "env_rgb": np.stack([tex.r, tex.g, tex.b], -1)}
+
+    def loss_fn(p):
+        img = render_for_params(p, scene, cam, tex, cfg, 3)
+        return image_loss(img, target)
+
+    want_loss, want_grads = jax.value_and_grad(loss_fn)(
+        jax.tree.map(jnp.asarray, params))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(worker))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", coord, "grad"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-2000:]}"
+        lines = {ln.split()[3]: ln.split()[4:]
+                 for ln in out.splitlines()
+                 if ln.startswith(f"WORKER {pid} GRAD")}
+        assert set(lines) == set(params), (pid, sorted(lines))
+        loss_line = [ln for ln in out.splitlines()
+                     if ln.startswith(f"WORKER {pid} LOSS")]
+        got_loss = float(loss_line[0].split()[-1])
+        assert abs(got_loss - float(want_loss)) <= 1e-5 * max(
+            1.0, abs(float(want_loss))), (pid, got_loss, float(want_loss))
+        for key, (norm_s, sum_s) in lines.items():
+            g = np.asarray(want_grads[key], np.float64)
+            want_norm, want_sum = np.linalg.norm(g), g.sum()
+            tol = 1e-4 * max(want_norm, 1e-6)
+            assert abs(float(norm_s) - want_norm) <= tol, (
+                pid, key, norm_s, want_norm)
+            assert abs(float(sum_s) - want_sum) <= 10 * tol, (
+                pid, key, sum_s, want_sum)
+
+
 def test_throughput_report():
     r = throughput_report(_cfg(width=1280, height=720, spp=1, bounces=8), 100.0)
     assert abs(r.primary_mrays_per_s - 9.216) < 0.01
