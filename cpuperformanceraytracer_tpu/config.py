@@ -120,12 +120,15 @@ class RenderConfig:
     # parameters there, so the dims must ride statically; () = unset.
     # Set automatically by render_frame_pallas_diff.
     env_tex_shape: tuple = ()
-    # backward (adjoint) Pallas kernel block height. 8 preferred: the
-    # kernel stores every segment's input state in VMEM scratch, so its
-    # footprint scales with bh (16 measured no faster at 2x the
-    # scratch — BASELINE.md). Falls back to 8 / tile_height when the
-    # (possibly sharded) height is not divisible.
-    bwd_tile_height: int = 8
+    # backward (adjoint) Pallas kernel block height. Round-5 v5e sweep
+    # at the headline workload with partial baking: 8 -> 17.2, 16 ->
+    # 16.2, 24 -> 15.9 (best), 32 -> 17.0 ms/step, 40 -> Mosaic scoped-
+    # vmem OOM. The kernel stores every segment's input state in VMEM
+    # scratch, so the builder auto-downgrades the height when the
+    # scene/bounce count would exceed the measured ~16 MB scoped-vmem
+    # stack limit (kernels/backward.py); falls back to 8 / tile_height
+    # when the (possibly sharded) height is not divisible.
+    bwd_tile_height: int = 24
 
     @property
     def packed_accum(self) -> bool:

@@ -157,11 +157,13 @@ _NF32 = 22
 
 def _bwd_tiles(cfg: RenderConfig):
     """Backward block shape: (cfg.bwd_tile_height, 128) preferred —
-    8 by default, VMEM headroom for the per-segment state store —
-    falling back to 8 / the config's tiles when the height is not
-    divisible. The knob lives on RenderConfig (not an env var) so it
-    participates in _make_bwd_call's cache key and benchmark configs
-    state it explicitly."""
+    24 by default, the round-5 v5e sweep winner — falling back to 8 /
+    the config's tiles when the height is not divisible. The knob lives
+    on RenderConfig (not an env var) so it participates in
+    _make_bwd_call's cache key and benchmark configs state it
+    explicitly. _make_bwd_call additionally DOWNGRADES the height when
+    the scene/bounce count would blow the scoped-vmem stack (see
+    _bwd_stack_bytes)."""
     pref_h = cfg.bwd_tile_height
     bh = pref_h if cfg.height % pref_h == 0 else (
         8 if cfg.height % 8 == 0 else cfg.tile_height)
@@ -173,23 +175,31 @@ def _bwd_tiles(cfg: RenderConfig):
     return bh, bw
 
 
-# Conservative per-core VMEM budget for the backward kernel's scratch
-# (v5e cores have 128 MiB; leave room for Mosaic's own in/out windows
-# and double buffering). Scratch scales LINEARLY with scene size: the
-# theta accumulator is (t_pl, bh, bw) where t_pl = 25*nq + 5*ns +
-# 14*nm + 3 planes — ~325 planes (1.3 MiB/block at (8,128)) for the
-# 12-object glass scene, so the ceiling sits near ~24000 table cells
-# (~900 objects) at the default block. _make_bwd_call raises a sized
-# error instead of letting Mosaic OOM silently.
-_BWD_VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+# Mosaic's scoped-vmem stack limit is 16 MB on v5e (measured round 5:
+# bwd_tile_height=40 at the 12-object glass scene failed AOT compile
+# with "size 18.88M and limit 16.00M"). The kernel's stack holds the
+# declared scratch (per-segment state store + theta accumulator + cot
+# planes) PLUS the jax.vjp residual temporaries — empirically ~3.1x
+# the declared scratch at the headline workload (18.88M actual vs
+# 6.0M declared at bh=40). _make_bwd_call downgrades the block height
+# until the estimate fits, and raises a sized error only if even the
+# minimum block cannot.
+_BWD_VMEM_BUDGET_BYTES = 16 * 1024 * 1024
+_BWD_STACK_MULTIPLIER = 3.1
 
 
 def _bwd_scratch_bytes(n_segments, bh, bw, t_pl):
-    """f32/u32 scratch footprint of one backward-kernel block."""
+    """Declared f32/u32 scratch footprint of one backward-kernel block."""
     state_store = n_segments * bh * bw * (_NF32 + 3)
     theta_acc = t_pl * bh * bw
     cot_planes = _NF32 * bh * bw
     return 4 * (state_store + theta_acc + cot_planes)
+
+
+def _bwd_stack_bytes(n_segments, bh, bw, t_pl):
+    """Estimated Mosaic stack use incl. vjp residual temporaries."""
+    return int(_BWD_STACK_MULTIPLIER
+               * _bwd_scratch_bytes(n_segments, bh, bw, t_pl))
 
 
 @functools.lru_cache(maxsize=None)
@@ -225,8 +235,6 @@ def _make_bwd_call(cfg: RenderConfig, nq: int, ns: int, nm: int,
     bh, bw = _bwd_tiles(cfg.replace(height=local_h))
     height, width = cfg.height, cfg.width
     n_segments = cfg.bounces + 1
-    parts = _make_kernel(cfg, nq, ns, nm, bh, bw, baked=None,
-                         export_parts=True)
     part = trained if trained is not None else _ALL_TRAINED
     bt = baked.tables
 
@@ -254,15 +262,30 @@ def _make_bwd_call(cfg: RenderConfig, nq: int, ns: int, nm: int,
     pos_of = {cell: p for p, cell in enumerate(spec)}
     _TBL = {"quad": 0, "sph": 1, "mat": 2}
 
-    scratch_bytes = _bwd_scratch_bytes(n_segments, bh, bw, t_pl)
-    if scratch_bytes > _BWD_VMEM_BUDGET_BYTES:
-        raise ValueError(
-            f"backward kernel scratch needs {scratch_bytes / 2**20:.1f} "
-            f"MiB VMEM per ({bh},{bw}) block ({t_pl} theta planes from "
-            f"{nq} quads/{ns} spheres/{nm} materials, {n_segments} "
-            f"segments) — over the {_BWD_VMEM_BUDGET_BYTES / 2**20:.0f} "
-            "MiB budget. Reduce scene size, bounces, or bwd_tile_height "
-            "(see docs/BACKWARD_KERNEL_DESIGN.md, 'VMEM ceiling').")
+    # downgrade the block height until the scoped-vmem stack estimate
+    # fits (bigger scenes / more bounces / full-theta builds need
+    # shorter blocks than the round-5 default)
+    while (_bwd_stack_bytes(n_segments, bh, bw, t_pl)
+           > _BWD_VMEM_BUDGET_BYTES):
+        cand = next((h for h in (24, 16, 8) if h < bh and local_h % h == 0),
+                    None)
+        if cand is None:
+            raise ValueError(
+                f"backward kernel needs ~"
+                f"{_bwd_stack_bytes(n_segments, bh, bw, t_pl) / 2**20:.1f}"
+                f" MiB scoped vmem per ({bh},{bw}) block ({t_pl} theta "
+                f"planes from {nq} quads/{ns} spheres/{nm} materials, "
+                f"{n_segments} segments) — over the "
+                f"{_BWD_VMEM_BUDGET_BYTES / 2**20:.0f} MiB Mosaic stack "
+                "limit even at the minimum block height. Reduce scene "
+                "size or bounces (docs/BACKWARD_KERNEL_DESIGN.md, "
+                "'VMEM ceiling').")
+        bh = cand
+
+    # built AFTER the height downgrade: the exported bounce body closes
+    # over the final (bh, bw) block shape
+    parts = _make_kernel(cfg, nq, ns, nm, bh, bw, baked=None,
+                         export_parts=True)
 
     def unpack(theta):
         """theta planes -> (quads, spheres, materials, cam_shim) in the

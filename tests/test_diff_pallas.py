@@ -272,6 +272,88 @@ class TestPallasGradParity:
             np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5 * scale,
                                        err_msg=key)
 
+    def test_partial_baking_albedo_only(self):
+        """Only the traced families stay in the kernel (round 5):
+        with params = {albedo}, every other cell is a compile-time
+        constant and the env segment-sum is skipped — gradients must
+        still match the oracle exactly for the trained key, and the
+        jitted forward value must match the fully-traced kernel."""
+        from cpuperformanceraytracer_tpu.kernels.backward import (
+            render_frame_pallas_diff,
+        )
+        from cpuperformanceraytracer_tpu.kernels.megakernel import (
+            render_frame_pallas,
+        )
+
+        scene, cam = _diffuse_sky_scene()
+        tex = texture_from_array(gradient_sky(32, 16))
+        cfg = _cfg()
+        albedo = jnp.stack([scene.materials.albedo.x,
+                            scene.materials.albedo.y,
+                            scene.materials.albedo.z], -1)
+        params = {"albedo": albedo}
+        target = render_for_params(
+            {}, scene, cam, tex, cfg.replace(backend="xla"), 0)
+
+        def loss(p, c):
+            return image_loss(
+                render_for_params(p, scene, cam, tex, c, 1), target)
+
+        lx, gx = jax.value_and_grad(loss)(params, cfg.replace(backend="xla"))
+        # jit so params really are tracers (partial baking engages)
+        lp, gp = jax.jit(jax.value_and_grad(
+            lambda p: loss(p, cfg)))(params)
+        np.testing.assert_allclose(float(lp), float(lx), rtol=1e-4)
+        a, b = np.asarray(gx["albedo"]), np.asarray(gp["albedo"])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-3 * scale)
+
+        # forward VALUE: partially-baked == fully-traced kernel
+        want = render_frame_pallas(scene, cam, tex,
+                                   cfg.replace(bake_scene=False), 1)
+
+        @jax.jit
+        def fwd(p):
+            from cpuperformanceraytracer_tpu.diff.grad import apply_params
+
+            s, t = apply_params(scene, tex, p)
+            return render_frame_pallas_diff(s, cam, t, cfg, 1)
+
+        got = fwd(params)
+        for cw, cg in zip(want, got):
+            np.testing.assert_allclose(np.asarray(cg), np.asarray(cw),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_derive_trained(self):
+        """derive_trained maps traced leaves to the right families."""
+        from cpuperformanceraytracer_tpu.diff.grad import apply_params
+        from cpuperformanceraytracer_tpu.kernels.backward import (
+            derive_trained,
+        )
+
+        scene, cam = _diffuse_sky_scene()
+        tex = texture_from_array(gradient_sky(16, 8))
+        centers = jnp.stack([scene.spheres.center.x, scene.spheres.center.y,
+                             scene.spheres.center.z], -1)
+        env = jnp.stack([tex.r, tex.g, tex.b], -1)
+
+        got = {}
+
+        def probe(p):
+            s, t = apply_params(scene, tex, p)
+            got["trained"] = derive_trained(s, cam, t)
+            leaves = [x.sum() for x in jax.tree.leaves(p)]
+            return sum(leaves)
+
+        jax.grad(probe)({"sphere_centers": centers, "env_rgb": env})
+        assert got["trained"] == frozenset({"sphere_centers", "env_rgb"})
+
+        jax.grad(probe)({"albedo": jnp.zeros((3, 3))
+                         + jnp.stack([scene.materials.albedo.x,
+                                      scene.materials.albedo.y,
+                                      scene.materials.albedo.z], -1)})
+        assert got["trained"] == frozenset({"albedo"})
+
     def test_wang_rng_rejected(self):
         from cpuperformanceraytracer_tpu.kernels.backward import (
             render_frame_pallas_diff,
