@@ -265,6 +265,12 @@ def cmd_bench_grad(a) -> int:
     cfg = _cfg_from_args(a).replace(rng="counter")
     if cfg.backend == "xla":
         cfg = cfg.replace(remat_bounces=True)
+        # the remat path runs ~10 s/step at 720p (BASELINE.md): keep
+        # the default protocol small unless the caller sized it
+        if a.steps is None:
+            a.steps = 4
+        if a.steps_per_dispatch is None:
+            a.steps_per_dispatch = 1
     else:
         # the round-3 sweep's tuned forward blocks + one early-exit check
         kw = dict(exit_granularity=8)
@@ -276,8 +282,10 @@ def cmd_bench_grad(a) -> int:
     scene, cam = scene_by_name(cfg.scene)
     tex = _texture_from_args(a)
 
-    result = fwd_bwd_benchmark(cfg, scene, cam, tex, steps=a.steps,
-                               steps_per_dispatch=a.steps_per_dispatch)
+    steps = 64 if a.steps is None else a.steps
+    k = 16 if a.steps_per_dispatch is None else a.steps_per_dispatch
+    result = fwd_bwd_benchmark(cfg, scene, cam, tex, steps=steps,
+                               steps_per_dispatch=k)
     out = {
         "metric": "fwd_bwd_ms_per_step",
         "config": f"{cfg.width}x{cfg.height} spp{cfg.spp} "
@@ -357,14 +365,23 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench-grad",
                        help="timed fwd+bwd (value_and_grad) throughput")
     _add_common(p)
-    p.add_argument("--steps", type=int, default=64)
-    p.add_argument("--steps-per-dispatch", type=int, default=16,
+    p.add_argument("--steps", type=int, default=None,
+                   help="timed steps (default 64 pallas / 4 xla-remat)")
+    p.add_argument("--steps-per-dispatch", type=int, default=None,
                    help="K value_and_grad steps fused per device "
-                        "dispatch (diff/benchgrad.make_grad_step_k)")
+                        "dispatch (default 16 pallas / 1 xla-remat; "
+                        "diff/benchgrad.make_grad_step_k)")
     p.set_defaults(fn=cmd_bench_grad)
 
     a = ap.parse_args(argv)
-    return a.fn(a)
+    try:
+        return a.fn(a)
+    except (ValueError, NotImplementedError, FileNotFoundError) as e:
+        # config errors (bad --scene, invalid knob combos, missing env
+        # file) read as one line, not a traceback — the CLI analog of
+        # CheckValidSettings' message box (Application.cpp:36-94)
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

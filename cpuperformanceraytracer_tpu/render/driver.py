@@ -178,12 +178,21 @@ class OfflineRenderer:
             # warmup compiles + warms caches but must not pollute the
             # accumulation: render into a scratch buffer (Application.cpp:421
             # does pollute; progressive mean makes it harmless there — here
-            # we keep the image exactly equal to an unwarmed run)
+            # we keep the image exactly equal to an unwarmed run).
+            # Two measured backend effects must be absorbed here, not in
+            # the first timed span (docs/PERFORMANCE.md pitfalls (b),(d)):
+            # a fresh executable runs slow for its first SEVERAL
+            # executions (warm >= 6, each synced), and the first time two
+            # executions are in flight costs extra once (warm the
+            # pipelined shape with one unsynced pair).
             keep = self.state
             self.state = RenderState(accum=zero_accum(cfg), frame=0)
-            warm = -(-cfg.warmup_frames // k) * k
-            for _ in range(warm // k):
+            warm_execs = max(-(-cfg.warmup_frames // k), 6)
+            for _ in range(warm_execs):
                 self.step_k(k)
+                device_sync(self.state.accum)
+            self.step_k(k)
+            self.step_k(k)
             if cfg.num_frames % k:
                 # the remainder frames run through the single-frame fn —
                 # compile it now or its compile lands inside the timed loop

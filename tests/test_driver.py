@@ -190,3 +190,19 @@ def test_cli_render(tmp_path):
                          capture_output=True, text=True, timeout=300)
     assert res.returncode == 0, res.stderr[-2000:]
     assert os.path.exists(out)
+
+
+def test_cli_config_errors_are_one_line(capsys):
+    """Config mistakes (bad --scene, missing env file) exit with a
+    one-line `error:` message, not a traceback — the CLI analog of
+    CheckValidSettings (Application.cpp:36-94)."""
+    from cpuperformanceraytracer_tpu.app.cli import main
+
+    rc = main(["render", "--scene", "not_a_scene", "-o", "/tmp/x.bmp"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert err.startswith("error:") and "cornell_box" in err
+
+    rc = main(["render", "--env", "/no/such/file.hdr", "-o", "/tmp/x.bmp"])
+    assert rc == 2
+    assert "error:" in capsys.readouterr().err
