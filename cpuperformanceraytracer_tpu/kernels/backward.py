@@ -202,6 +202,30 @@ def _bwd_stack_bytes(n_segments, bh, bw, t_pl):
                * _bwd_scratch_bytes(n_segments, bh, bw, t_pl))
 
 
+def _fit_bwd_height(bh, bw, local_h, n_segments, t_pl,
+                    scene_desc="scene"):
+    """Downgrade the block height until the scoped-vmem stack estimate
+    fits (bigger scenes / more bounces / full-theta builds need shorter
+    blocks than the round-5 default); raise a sized error only when
+    even the minimum block cannot fit."""
+    while _bwd_stack_bytes(n_segments, bh, bw, t_pl) > \
+            _BWD_VMEM_BUDGET_BYTES:
+        cand = next((h for h in (24, 16, 8)
+                     if h < bh and local_h % h == 0), None)
+        if cand is None:
+            raise ValueError(
+                f"backward kernel needs ~"
+                f"{_bwd_stack_bytes(n_segments, bh, bw, t_pl) / 2**20:.1f}"
+                f" MiB scoped vmem per ({bh},{bw}) block ({t_pl} theta "
+                f"planes from {scene_desc}, {n_segments} segments) — "
+                f"over the {_BWD_VMEM_BUDGET_BYTES / 2**20:.0f} MiB "
+                "Mosaic stack limit even at the minimum block height. "
+                "Reduce scene size or bounces "
+                "(docs/BACKWARD_KERNEL_DESIGN.md, 'VMEM ceiling').")
+        bh = cand
+    return bh
+
+
 @functools.lru_cache(maxsize=None)
 def _make_bwd_call(cfg: RenderConfig, nq: int, ns: int, nm: int,
                    local_h: int = 0, trained=None, baked=None):
@@ -262,25 +286,9 @@ def _make_bwd_call(cfg: RenderConfig, nq: int, ns: int, nm: int,
     pos_of = {cell: p for p, cell in enumerate(spec)}
     _TBL = {"quad": 0, "sph": 1, "mat": 2}
 
-    # downgrade the block height until the scoped-vmem stack estimate
-    # fits (bigger scenes / more bounces / full-theta builds need
-    # shorter blocks than the round-5 default)
-    while (_bwd_stack_bytes(n_segments, bh, bw, t_pl)
-           > _BWD_VMEM_BUDGET_BYTES):
-        cand = next((h for h in (24, 16, 8) if h < bh and local_h % h == 0),
-                    None)
-        if cand is None:
-            raise ValueError(
-                f"backward kernel needs ~"
-                f"{_bwd_stack_bytes(n_segments, bh, bw, t_pl) / 2**20:.1f}"
-                f" MiB scoped vmem per ({bh},{bw}) block ({t_pl} theta "
-                f"planes from {nq} quads/{ns} spheres/{nm} materials, "
-                f"{n_segments} segments) — over the "
-                f"{_BWD_VMEM_BUDGET_BYTES / 2**20:.0f} MiB Mosaic stack "
-                "limit even at the minimum block height. Reduce scene "
-                "size or bounces (docs/BACKWARD_KERNEL_DESIGN.md, "
-                "'VMEM ceiling').")
-        bh = cand
+    bh = _fit_bwd_height(bh, bw, local_h, n_segments, t_pl,
+                         scene_desc=f"{nq} quads/{ns} spheres/{nm} "
+                                    "materials")
 
     # built AFTER the height downgrade: the exported bounce body closes
     # over the final (bh, bw) block shape

@@ -272,6 +272,35 @@ class TestPallasGradParity:
             np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5 * scale,
                                        err_msg=key)
 
+    def test_quad_and_radius_grads_match_oracle(self):
+        """The less-common trained families (quad vertices, sphere
+        radii) exercise their own cells in the adjoint kernel's
+        partial-theta spec — wiring bugs there would show as wildly
+        different or non-finite gradients vs the oracle. Glass scene:
+        radii and vertices enter smoothly through hit distances, Beer
+        absorption, and Fresnel."""
+        scene, cam = glass_spheres_scene()
+        tex = texture_from_array(gradient_sky(32, 16))
+        cfg = _cfg(scene="glass_spheres", bounces=2, roulette="v4_quirk")
+        v0 = jnp.stack([scene.quads.v0.x, scene.quads.v0.y,
+                        scene.quads.v0.z], -1)
+        params = {"quad_v0": v0, "sphere_radii": scene.spheres.radius}
+        target = render_for_params(
+            {}, scene, cam, tex, cfg.replace(backend="xla"), 0)
+
+        lx, gx = _grads(cfg.replace(backend="xla"), scene, cam, tex,
+                        params, target)
+        lp, gp = _grads(cfg, scene, cam, tex, params, target)
+
+        np.testing.assert_allclose(float(lp), float(lx), rtol=1e-3)
+        for key in params:
+            b = np.asarray(gp[key])
+            assert np.isfinite(b).all(), key
+            a = np.asarray(gx[key])
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            assert abs(na - nb) <= 0.05 * max(na, 1e-6) + 1e-6, (
+                key, na, nb)
+
     def test_partial_baking_albedo_only(self):
         """Only the traced families stay in the kernel (round 5):
         with params = {albedo}, every other cell is a compile-time
@@ -353,6 +382,27 @@ class TestPallasGradParity:
                                       scene.materials.albedo.y,
                                       scene.materials.albedo.z], -1)})
         assert got["trained"] == frozenset({"albedo"})
+
+    def test_bwd_height_vmem_downgrade(self):
+        """The scoped-vmem fitter picks the tallest block that fits the
+        measured 16 MB Mosaic stack limit (round 5) and errors with a
+        sized message only when nothing fits."""
+        from cpuperformanceraytracer_tpu.kernels.backward import (
+            _BWD_VMEM_BUDGET_BYTES,
+            _bwd_stack_bytes,
+            _fit_bwd_height,
+        )
+
+        # headline-like: 9 segments, ~46 trained planes -> 24 fits
+        assert _fit_bwd_height(24, 128, 720, 9, 46) == 24
+        # many segments: 24 no longer fits, 16 does
+        segs = 9
+        while _bwd_stack_bytes(segs, 24, 128, 46) <= _BWD_VMEM_BUDGET_BYTES:
+            segs += 8
+        assert _fit_bwd_height(24, 128, 720, segs, 46) < 24
+        # nothing fits -> sized error naming the limit
+        with pytest.raises(ValueError, match="Mosaic stack limit"):
+            _fit_bwd_height(8, 128, 720, 600, 500)
 
     def test_wang_rng_rejected(self):
         from cpuperformanceraytracer_tpu.kernels.backward import (
