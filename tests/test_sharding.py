@@ -160,3 +160,71 @@ def test_pallas_backend_px_spp_sharding(devices8):
     sh = sharded_render_frame(scene, cam, tex, cfg, 1, mesh)
     np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ref.x),
                                atol=1e-5)
+
+
+def test_training_step_collective_bytes(devices8):
+    """VERIFY the communication-budget model (parallel/budget.py, the
+    BASELINE.md scaling table's inputs) against the all-reduce ops XLA
+    actually inserts into the compiled sharded fwd+bwd step: two
+    (3, H/n_px, W) image psums over "spp" (forward + transpose), the
+    scalar loss reduction, and one gradient all-reduce whose operands
+    are exactly the trained parameter leaves."""
+    import re
+
+    from cpuperformanceraytracer_tpu.diff.grad import (
+        apply_params,
+        image_loss,
+    )
+    from cpuperformanceraytracer_tpu.parallel.budget import (
+        training_step_comm_elements,
+    )
+    from cpuperformanceraytracer_tpu.parallel.shard import (
+        sharded_render_frame_diff,
+    )
+    from cpuperformanceraytracer_tpu.core.vecmath import Vec3
+
+    scene, cam = cornell_box_scene()
+    tex = texture_from_array(gradient_sky(32, 16))
+    cfg = _cfg(width=128, height=64, spp=2, bounces=2,
+               backend="pallas", tile_height=8, tile_width=128,
+               rng="counter", env_mode="equirect")
+    n_px, n_spp = 4, 2
+    mesh = make_mesh((n_px, n_spp), ("px", "spp"))
+    albedo = jnp.stack([scene.materials.albedo.x, scene.materials.albedo.y,
+                        scene.materials.albedo.z], -1)
+    params = {"albedo": albedo,
+              "env_rgb": jnp.stack([tex.r, tex.g, tex.b], -1)}
+    target = Vec3(*(jnp.zeros((cfg.height, cfg.width)) for _ in range(3)))
+
+    def loss(p):
+        s, t = apply_params(scene, tex, p)
+        return image_loss(
+            sharded_render_frame_diff(s, cam, t, cfg, 1, mesh), target)
+
+    hlo = jax.jit(jax.value_and_grad(loss)).lower(params).compile().as_text()
+
+    total = 0
+    image_psums = 0
+    h_local = cfg.height // n_px
+    for ln in hlo.splitlines():
+        # def lines only: "<result-shape-or-tuple> all-reduce(...)"
+        if " all-reduce(" not in ln and " all-reduce-start(" not in ln:
+            continue
+        shapes = re.findall(r"f32\[([\d,]*)\]", ln.split(" all-reduce")[0])
+        for s in shapes:
+            n = 1
+            for d in s.split(","):
+                if d:
+                    n *= int(d)
+            total += n
+        if f"f32[3,{h_local},{cfg.width}]" in ln.split(" all-reduce")[0]:
+            image_psums += 1
+
+    model = training_step_comm_elements(
+        cfg.height, cfg.width, n_px, n_spp,
+        [int(np.prod(v.shape)) for v in params.values()])
+    # forward psum + its transpose
+    assert image_psums == 2, image_psums
+    # the model must account for the compiled program's collective
+    # traffic (exact at this scale; allow a few stray scalars)
+    assert abs(total - model) <= 16, (total, model)
