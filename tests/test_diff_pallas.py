@@ -413,3 +413,26 @@ class TestPallasGradParity:
         tex = texture_from_array(gradient_sky(16, 8))
         with pytest.raises(ValueError, match="counter"):
             render_frame_pallas_diff(scene, cam, tex, _cfg(rng="wang"), 0)
+
+
+class TestBenchGradProtocol:
+    def test_fwd_bwd_benchmark_tiny(self):
+        """The driver-metric protocol (diff/benchgrad.py, used by
+        bench.py and `cli bench-grad`) runs end-to-end at toy scale:
+        finite grads over the full param surface, sane timing fields."""
+        from cpuperformanceraytracer_tpu.diff.benchgrad import (
+            fwd_bwd_benchmark,
+        )
+
+        scene, cam = _diffuse_sky_scene()
+        tex = texture_from_array(gradient_sky(16, 8))
+        cfg = _cfg(bounces=1)
+        r = fwd_bwd_benchmark(cfg, scene, cam, tex, steps=2,
+                              steps_per_dispatch=2, warmup_calls=1,
+                              spans=1)
+        assert r["grads_finite"]
+        assert r["ms_per_step"] > 0 and r["Mrays_per_s"] > 0
+        assert r["steps_per_dispatch"] == 2
+        assert r["param_leaves"] == ["albedo", "env_rgb",
+                                     "sphere_centers"]
+        assert len(r["span_ms"]) == 1 and r["spread"] == 0.0
